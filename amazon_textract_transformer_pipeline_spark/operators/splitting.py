@@ -1,0 +1,153 @@
+"""Sequence splitting Q1-Q4 (SURVEY §2.5): long pages → model windows.
+
+Algorithm re-derived from the reference's NaiveExampleSplitter contract
+(``notebooks/src/code/data/splitting.py:63-144``): split on word boundaries,
+greedy-fill each window up to ``max_content_seq_len`` tokens; if the final
+window lands under 50% full, pull its start backward (creating overlap) to
+pack in context; a single word longer than the whole window is skipped with a
+warning (splitting.py:118-127). Windows are word-index ``[start, end)``
+slices. ``n_examples`` estimate = ``ceil(n_tokens / max_len)``
+(splitting.py:72-74).
+
+Tokenizer: the reference uses a HuggingFace tokenizer's ``word_ids`` map
+(Q1, splitting.py:286-297). This sandbox has no transformers, so the default
+is a deterministic BPE-ish stub (regex word-piece chunks, ≤4 chars) behind
+the same interface — only per-word token *counts* matter to the splitter.
+
+This is UDF family (b) (SURVEY §2.12): Arrow-batched ``mapInPandas`` at page
+grain. One page in → ≥1 window rows out; map-only, no shuffle. The window
+budget reserves 2 tokens for CLS/SEP (max_seq_len − 2, ner.py:439).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from math import ceil
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import WORD_SCHEMA
+
+#: max_position_embeddings=512 minus CLS+SEP (config.py:325-331; ner.py:439)
+DEFAULT_MAX_CONTENT_SEQ_LEN = 510
+#: tensor-core padding quantum (inference.py:69-70, config.py:332-335) —
+#: carried for parity; only affects real-model batch padding.
+PAD_TO_MULTIPLE_OF = 8
+
+_PIECE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9]")
+_CHUNK = 4
+
+
+def stub_tokenize(word: str) -> list[str]:
+    """Deterministic BPE-ish word-piece stub: alpha/digit/symbol runs, long
+    runs chopped to 4-char pieces. Every word yields ≥1 token."""
+    pieces: list[str] = []
+    for m in _PIECE_RE.finditer(word):
+        s = m.group(0)
+        pieces.extend(s[i:i + _CHUNK] for i in range(0, len(s), _CHUNK))
+    return pieces or [word]
+
+
+def n_examples(n_tokens: int, max_content_seq_len: int) -> int:
+    return int(ceil(n_tokens / max_content_seq_len))
+
+
+def split_words(token_counts: list[int], max_len: int) -> list[tuple[int, int]]:
+    """Word-boundary splits per the NaiveExampleSplitter contract.
+
+    ``token_counts[i]`` = tokens in word i. Returns [start, end) word slices.
+    """
+    n_words = len(token_counts)
+    # word i starts at token word_start[i]; total tokens = word_start[n]
+    word_start = [0] * (n_words + 1)
+    for i, c in enumerate(token_counts):
+        word_start[i + 1] = word_start[i] + c
+    n_tokens_total = word_start[n_words]
+
+    splits: list[tuple[int, int]] = []
+    ix_start = 0
+    while ix_start < n_words:
+        start_tok = word_start[ix_start]
+        end_tok = start_tok
+        ix_end = ix_start
+        while ix_end < n_words:
+            nxt = ix_end + 1
+            nxt_tok = word_start[nxt] if nxt < n_words else n_tokens_total
+            if nxt_tok - start_tok > max_len:
+                break
+            ix_end, end_tok = nxt, nxt_tok
+        if end_tok == start_tok:
+            # single word longer than the window: skip (warn path)
+            ix_start += 1
+            continue
+        if end_tok - start_tok < max_len * 0.5:
+            while ix_start > 0:
+                prev = ix_start - 1
+                if end_tok - word_start[prev] > max_len:
+                    break
+                ix_start = prev
+        splits.append((ix_start, ix_end))
+        ix_start = ix_end
+    return splits
+
+
+WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("page_num", T.IntegerType(), False),
+        T.StructField("window_ix", T.IntegerType(), False),
+        T.StructField("start_word", T.IntegerType(), False),
+        T.StructField("end_word", T.IntegerType(), False),
+        T.StructField("n_tokens", T.IntegerType(), False),
+        T.StructField("words", T.ArrayType(WORD_SCHEMA), False),
+        # per-word token counts within the slice (reused by inference I1)
+        T.StructField("token_counts", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def split_pages_to_windows(
+    pages: DataFrame,
+    max_content_seq_len: int = DEFAULT_MAX_CONTENT_SEQ_LEN,
+    tokenize=stub_tokenize,
+) -> DataFrame:
+    """Q1-Q3: page rows (from assembly.pages_view) → window rows.
+
+    Map-only Arrow stage; downstream inference batches whole windows.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out: dict[str, list] = {f.name: [] for f in WINDOW_SCHEMA}
+            for url, page_num, words in zip(b["url"], b["page_num"], b["words"]):
+                counts = [len(tokenize(w["text"])) for w in words]
+                for wix, (s, e) in enumerate(
+                    split_words(counts, max_content_seq_len)
+                ):
+                    out["url"].append(url)
+                    out["page_num"].append(page_num)
+                    out["window_ix"].append(wix)
+                    out["start_word"].append(s)
+                    out["end_word"].append(e)
+                    out["n_tokens"].append(sum(counts[s:e]))
+                    out["words"].append(list(words[s:e]))
+                    out["token_counts"].append(counts[s:e])
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(run, schema=WINDOW_SCHEMA)
+
+
+def windows_with_length_bucket(windows: DataFrame, n_buckets: int = 8,
+                               max_len: int = DEFAULT_MAX_CONTENT_SEQ_LEN) -> DataFrame:
+    """Straggler lever (SURVEY §4): tag windows with a token-length bucket so
+    the inference stage can sortWithinPartitions — batches of similar length
+    minimize pad waste (the reference pads to longest-in-batch,
+    ner.py:193-198)."""
+    return windows.withColumn(
+        "len_bucket",
+        F.least(F.lit(n_buckets - 1),
+                (F.col("n_tokens") * n_buckets / F.lit(max_len)).cast("int")),
+    )

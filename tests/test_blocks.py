@@ -1,0 +1,79 @@
+"""O6/S3/S5: block-tree serialization round-trip through Textract JSON."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazon_textract_transformer_pipeline_spark.operators.assembly import (
+    assemble_text,
+    words_view,
+)
+from amazon_textract_transformer_pipeline_spark.operators.blocks import (
+    blocks_to_json,
+    blocks_to_words,
+    parse_textract_json,
+    words_to_blocks,
+)
+
+
+def test_block_tree_shape(spark, doc_words):
+    blocks = words_to_blocks(doc_words).cache()
+    one = blocks.filter(F.col("DocumentMetadata.Pages") >= 2).limit(1).collect()[0]
+    bt = [b.BlockType for b in one.Blocks]
+    assert bt[0] == "PAGE"
+    assert set(bt) == {"PAGE", "LINE", "WORD"}
+    # every LINE's children exist and are WORDs, in order
+    by_id = {b.Id: b for b in one.Blocks}
+    for b in one.Blocks:
+        if b.BlockType == "LINE":
+            kids = b.Relationships[0].Ids
+            assert all(by_id[k].BlockType == "WORD" for k in kids)
+            assert b.Text == " ".join(by_id[k].Text for k in kids)
+            confs = [by_id[k].Confidence for k in kids]
+            assert abs(b.Confidence - sum(confs) / len(confs)) < 1e-9
+        if b.BlockType == "PAGE":
+            assert b.Geometry.BoundingBox.Width == 1.0
+            for k in b.Relationships[0].Ids:
+                assert by_id[k].BlockType == "LINE"
+    # geometry polygon is the 4 bbox corners
+    w = next(b for b in one.Blocks if b.BlockType == "WORD")
+    assert len(w.Geometry.Polygon) == 4
+    assert w.Geometry.Polygon[0].X == w.Geometry.BoundingBox.Left
+
+
+def test_json_roundtrip_byte_identical(spark, pages_df, doc_words):
+    """words → blocks → JSON string → parse → words → text == oracle."""
+    js = blocks_to_json(words_to_blocks(doc_words))
+    back = blocks_to_words(parse_textract_json(js))
+    text = assemble_text(back).join(pages_df.select("url", "text"), "url")
+    # empty docs produce no blocks → absent after roundtrip; exclude
+    n_nonempty = pages_df.filter("text <> ''").count()
+    assert text.count() == n_nonempty
+    assert text.filter("extracted_text <> text").count() == 0
+
+
+def test_roundtrip_preserves_word_detail(spark, doc_words):
+    orig = words_view(doc_words).select(
+        "url", "page_num", "line_id", "text", "conf", "word_id")
+    back_doc = blocks_to_words(parse_textract_json(
+        blocks_to_json(words_to_blocks(doc_words))))
+    back = words_view(back_doc).select(
+        "url", "page_num", "line_id", "text", "conf",
+        F.col("word_id"))
+    assert orig.exceptAll(back).count() == 0
+    assert back.exceptAll(orig).count() == 0
+
+
+def test_enriched_blocks_carry_predictions(spark, doc_words):
+    from amazon_textract_transformer_pipeline_spark.operators.enrich import (
+        stub_predictions,
+    )
+
+    enriched = stub_predictions(words_view(doc_words))
+    blocks = words_to_blocks(enriched)
+    one = blocks.limit(1).collect()[0]
+    words = [b for b in one.Blocks if b.BlockType == "WORD"]
+    assert all(w.PredictedClass is not None for w in words)
+    assert all(0.5 <= w.PredictedClassConfidence < 1.0 for w in words)
+    lines = [b for b in one.Blocks if b.BlockType == "LINE"]
+    assert all(ln.PredictedClass is None for ln in lines)
