@@ -1,38 +1,269 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction end-to-end on sf0.001; ``queries``
+exposes one callable per implemented operator family (SURVEY.md §2) over the
+driver's parquet tables; ``oracle_sql`` gives the DuckDB recomputation of
+each SQL-expressible query (built in
+amazon_textract_transformer_pipeline_spark/oracle.py from the same layout
+constants and portable-hash stubs as the Spark side). Queries without an
+oracle entry (splitter windows, G4 box merge, multimodal metadata) are
+non-SQL-expressible ops → rows-only checks.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from amazon_textract_transformer_pipeline_spark import driver_queries as Q  # noqa: E402
+from amazon_textract_transformer_pipeline_spark import oracle as O  # noqa: E402
+from amazon_textract_transformer_pipeline_spark.functions import textsql as X  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full HTML front-end + byte-identical text assembly over the
+    sf0.001 documents table (rendered to pages via the bridge)."""
+    return Q.q_extract_text(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction path (SURVEY §2.3/§2.4/§2.8)
+        "extract_text": Q.q_extract_text,
+        "word_enrichment": Q.q_word_enrichment,
+        "entity_mentions": Q.q_entity_mentions,
+        "field_values": Q.q_field_values,
+        "fields": Q.q_fields,
+        "doc_confidence": Q.q_doc_confidence,
+        # dedup / sketches
+        "fingerprint": Q.q_fingerprint,
+        "minhash_signature": Q.q_minhash_signature,
+        "lsh_buckets": Q.q_lsh_buckets,
+        "lsh_candidates": Q.q_lsh_candidates,
+        "ngram_jaccard_consecutive": Q.q_ngram_jaccard_consecutive,
+        "simhash": Q.q_simhash,
+        "simhash_hamming_consecutive": Q.q_simhash_hamming_consecutive,
+        "embedding_cosine_consecutive": Q.q_embedding_cosine_consecutive,
+        # similarity search
+        "ann_bruteforce_topk": Q.q_ann_bruteforce_topk,
+        "ann_lsh_topk": Q.q_ann_lsh_topk,
+        # text stats
+        "text_stats": Q.q_text_stats,
+        # geometric label join (G1/G2)
+        "g1_word_labels": Q.q_g1_word_labels,
+        # reference aggregation shapes (§2.9-§2.10)
+        "o1_group_minmax": Q.q_o1_group_minmax,
+        "top1_per_group": Q.q_top1_per_group,
+        "noisy_or_events": Q.q_noisy_or_events,
+        "s4_pagination_merge": Q.q_s4_pagination_merge,
+        "train_test_split": Q.q_train_test_split,
+        # rows-only (non-SQL-expressible)
+        "split_windows": Q.q_split_windows,
+        "g4_box_merge": Q.q_g4_box_merge,
+        "multimodal_metadata": Q.q_multimodal_metadata,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    wpl, lpp, wpp = O.WORDS_PER_LINE, O.LINES_PER_PAGE, O.WPP
+    dw = X.words("text", "duck")
+    sqls: dict[str, str] = {
+        "extract_text": O.extract_text_oracle(),
+        "word_enrichment": O.word_enrichment_oracle(),
+        "entity_mentions": O.mentions_oracle(),
+        "field_values": O.field_values_oracle(),
+        "fields": O.fields_oracle(),
+        "doc_confidence": O.doc_confidence_oracle(),
+        "fingerprint": f"""
+SELECT doc_id, {X.h64(X.norm_text('text', 'duck'), 'duck')} AS fingerprint
+FROM documents""",
+        "minhash_signature": f"""
+SELECT doc_id,
+  array_to_string(list_transform(
+    {X.minhash_signature(X.shingles(dw, 3, 'duck'), 16, 'duck')},
+    x -> cast(x as varchar)), ',') AS minhash_csv
+FROM documents""",
+        "lsh_buckets": f"""
+WITH sig AS MATERIALIZED (
+  SELECT doc_id,
+    {X.minhash_signature(X.shingles(dw, 3, 'duck'), 16, 'duck')} AS minhash
+  FROM documents
+),
+banded AS (
+  SELECT doc_id, {X.band_hashes('minhash', 8, 2, 'duck')} AS bands FROM sig
+)
+SELECT doc_id, cast(generate_subscripts(bands, 1) - 1 AS int) AS band_ix,
+       unnest(bands) AS band_hash
+FROM banded""",
+        "lsh_candidates": f"""
+WITH sig AS MATERIALIZED (
+  SELECT doc_id,
+    {X.minhash_signature(X.shingles(dw, 3, 'duck'), 16, 'duck')} AS minhash
+  FROM documents
+),
+banded AS (
+  SELECT doc_id, {X.band_hashes('minhash', 8, 2, 'duck')} AS bands FROM sig
+),
+b AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(bands, 1) - 1 AS band_ix,
+         unnest(bands) AS band_hash
+  FROM banded
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band_ix, band_hash) AS sz FROM b
+),
+small AS (SELECT * FROM sized WHERE sz <= 1000)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM small l JOIN small r
+  ON l.band_ix = r.band_ix AND l.band_hash = r.band_hash
+  AND l.doc_id < r.doc_id""",
+        "ngram_jaccard_consecutive": f"""
+SELECT d1.doc_id AS a, d2.doc_id AS b,
+  round({X.jaccard(X.words('d1.text', 'duck'), X.words('d2.text', 'duck'), 3, 'duck')}, 6) AS jaccard
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1""",
+        "simhash": f"""
+SELECT doc_id, {X.simhash32(dw, 'duck')} AS simhash FROM documents""",
+        "simhash_hamming_consecutive": f"""
+WITH s AS (SELECT doc_id, {X.simhash32(dw, 'duck')} AS sh FROM documents)
+SELECT s1.doc_id AS a, s2.doc_id AS b,
+       {X.hamming32('s1.sh', 's2.sh', 'duck')}::BIGINT AS hamming
+FROM s s1 JOIN s s2 ON s2.doc_id = s1.doc_id + 1""",
+        "embedding_cosine_consecutive": f"""
+SELECT e1.vec_id AS a, e2.vec_id AS b,
+  round(round({X.cosine('e1.embedding', 'e2.embedding', 'duck')}, 9), 6) AS cos
+FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1""",
+        "ann_bruteforce_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         round({X.cosine('qv', 'e.embedding', 'duck')}, 9) AS cos9
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos9,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos9 DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cast(rank AS int) AS rank, cand_id, round(cos9, 6) AS cos
+FROM ranked WHERE rank <= 5""",
+        "text_stats": None,  # built below
+        "g1_word_labels": f"""
+WITH d AS (SELECT doc_id, len({dw}) AS nw FROM documents),
+words AS (
+  SELECT 'doc://' || doc_id AS url, unnest(range(0, nw)) AS word_pos, doc_id
+  FROM d
+),
+anns AS (
+  SELECT 'doc://' || doc_id AS url, unnest(range(0, nw // 5)) AS ann_ix
+  FROM d WHERE nw >= 5
+),
+ann2 AS (
+  SELECT url, ann_ix, cast(ann_ix % 3 AS int) AS class_id,
+         ann_ix * 50 AS ax0, ann_ix * 50 + 34 AS ax1
+  FROM anns
+),
+matched AS (
+  SELECT w.url, w.word_pos, min(a.class_id) AS mc
+  FROM words w JOIN ann2 a ON a.url = w.url
+   AND greatest(0, least(w.word_pos * 10 + 9, a.ax1)
+                  - greatest(w.word_pos * 10, a.ax0)) * 9.0
+       >= (9.0 * 9.0) / 2
+  GROUP BY w.url, w.word_pos
+)
+SELECT w.url, cast(w.word_pos AS int) AS word_pos,
+       cast(coalesce(m.mc, 3) AS int) AS label
+FROM words w LEFT JOIN matched m ON m.url = w.url AND m.word_pos = w.word_pos""",
+        "o1_group_minmax": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(min(l_extendedprice), 6) AS min_price,
+       round(max(l_extendedprice), 6) AS max_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "top1_per_group": """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1""",
+        "noisy_or_events": """
+WITH c AS (
+  SELECT user_id, event_type,
+         least(1 / (1 + exp(-value)), 0.999999::DOUBLE) AS conf
+  FROM events
+)
+SELECT user_id, event_type,
+       round(1 - exp(sum(ln(1 - conf))), 6) AS noisy_or,
+       count(*) AS n
+FROM c GROUP BY user_id, event_type""",
+        "s4_pagination_merge": """
+SELECT user_id, count(*) AS n_events,
+       string_agg(cast(event_id AS varchar), ','
+                  ORDER BY ts, event_id) AS event_ids_csv
+FROM events GROUP BY user_id""",
+        "train_test_split": f"""
+SELECT doc_id,
+  CASE WHEN {X.h64("concat('split', cast(doc_id as varchar))", 'duck')} % 10 < 9
+       THEN 'train' ELSE 'test' END AS split
+FROM documents""",
+    }
+
+    # text_stats assembled from the same expression builders
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        bpe_token_count_sql,
+        langid_sql,
+        quality_exprs,
+    )
+
+    q = quality_exprs("text", "duck")
+    sqls["text_stats"] = f"""
+SELECT doc_id,
+       {q['n_words']} AS n_words,
+       {q['n_chars_actual']} AS n_chars_actual,
+       {q['mean_word_len']} AS mean_word_len,
+       {q['stopword_ratio']} AS stopword_ratio,
+       {bpe_token_count_sql('text', 'duck')} AS n_tokens_est,
+       {langid_sql('text', 'duck')} AS lang_guess
+FROM documents"""
+
+    # ann_lsh_topk oracle: same sign-LSH construction in DuckDB
+    from amazon_textract_transformer_pipeline_spark.operators.similarity import (
+        _sign_bucket_expr,
+    )
+
+    buckets = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, "
+        f"{_sign_bucket_expr('embedding', 6, t, 'duck')} AS bucket FROM embeddings"
+        for t in range(2)
+    )
+    sqls["ann_lsh_topk"] = f"""
+WITH b AS ({buckets}),
+q AS (SELECT vec_id AS query_id, embedding AS qv, tbl, bucket FROM b
+      WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS cand_id, q.qv, c.embedding AS cv
+  FROM b c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, cand_id,
+         round({X.cosine('qv', 'cv', 'duck')}, 9) AS cos9
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, cand_id, cos9,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos9 DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cast(rank AS int) AS rank, cand_id, round(cos9, 6) AS cos
+FROM ranked WHERE rank <= 5"""
+    return {k: v for k, v in sqls.items() if v is not None}

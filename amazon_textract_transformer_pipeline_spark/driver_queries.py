@@ -1,0 +1,318 @@
+"""Spark-side implementations of the driver-gate queries (__spark_entry__).
+
+Each callable takes (spark, sf_dir) and returns a DataFrame whose values are
+bit-reproducible by the DuckDB oracle in oracle.py. Column names/aliases are
+kept identical on both sides — the driver sorts columns by name before
+value-hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import DEMO_CONFIG, field_config_df
+from .functions import textsql as X
+from .operators import dedup, similarity
+from .operators.assembly import assemble_text, pages_view, words_view
+from .operators.consolidate import (
+    consolidate_fields,
+    doc_confidence,
+    value_consolidation,
+)
+from .operators.enrich import stub_predictions
+from .operators.entities import extract_mentions
+from .operators.frontend import html_to_words
+from .operators.labels import merge_annotation_boxes, word_single_labels
+from .operators.multimodal import decode_metadata, synth_media_df
+from .operators.splitting import split_pages_to_windows
+from .operators.textstats import with_text_stats
+from .sources.bridge import pages_from_documents
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _doc_words(spark, sf_dir) -> DataFrame:
+    return html_to_words(pages_from_documents(_docs(spark, sf_dir)))
+
+
+def _enriched_words(spark, sf_dir) -> DataFrame:
+    return stub_predictions(words_view(_doc_words(spark, sf_dir)))
+
+
+def _mentions(spark, sf_dir) -> DataFrame:
+    cfg = field_config_df(spark, DEMO_CONFIG)
+    return extract_mentions(_enriched_words(spark, sf_dir), cfg)
+
+
+# ---------------------------------------------------------------------------
+# Extraction path (full front-end under the gate)
+# ---------------------------------------------------------------------------
+def q_extract_text(spark, sf_dir) -> DataFrame:
+    return assemble_text(_doc_words(spark, sf_dir)).select(
+        "url", "extracted_text", "n_pages")
+
+
+def q_word_enrichment(spark, sf_dir) -> DataFrame:
+    return _enriched_words(spark, sf_dir).select(
+        "url", "page_num", "word_pos", "line_id", "text", "pred_cls", "pcc")
+
+
+def q_entity_mentions(spark, sf_dir) -> DataFrame:
+    return _mentions(spark, sf_dir).select(
+        "url", F.col("run_id").cast("bigint").alias("run_id"),
+        "ClassId", "ClassName", "Text", "PageNum", "Confidence", "ixe")
+
+
+def q_field_values(spark, sf_dir) -> DataFrame:
+    v = value_consolidation(_mentions(spark, sf_dir))
+    return v.select(
+        "url", "ClassId", "Text",
+        F.col("n_detections").cast("bigint").alias("n_detections"),
+        "ix_first", "ix_last",
+        F.round("value_conf", 6).alias("value_conf"))
+
+
+def q_fields(spark, sf_dir) -> DataFrame:
+    cfg = field_config_df(spark, DEMO_CONFIG)
+    dw = _doc_words(spark, sf_dir).persist()
+    m = extract_mentions(stub_predictions(words_view(dw)), cfg)
+    f = consolidate_fields(m, cfg, dw.select("url"))
+    return f.select(
+        "url", "ClassId", "FieldName", "SortOrder",
+        F.col("NumDetections").cast("bigint").alias("NumDetections"),
+        F.col("NumDetectedValues").cast("bigint").alias("NumDetectedValues"),
+        "Value", F.round("Confidence", 6).alias("Confidence"))
+
+
+def q_doc_confidence(spark, sf_dir) -> DataFrame:
+    cfg = field_config_df(spark, DEMO_CONFIG)
+    dw = _doc_words(spark, sf_dir).persist()
+    m = extract_mentions(stub_predictions(words_view(dw)), cfg)
+    f = consolidate_fields(m, cfg, dw.select("url"))
+    return doc_confidence(f).select(
+        "url", F.round("Confidence", 6).alias("Confidence"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup / sketch family (documents)
+# ---------------------------------------------------------------------------
+def q_fingerprint(spark, sf_dir) -> DataFrame:
+    return dedup.with_fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint")
+
+
+def q_minhash_signature(spark, sf_dir) -> DataFrame:
+    sig = dedup.minhash_signatures(_docs(spark, sf_dir).select("doc_id", "text"))
+    return sig.select(
+        "doc_id",
+        F.expr("concat_ws(',', transform(minhash, x -> cast(x as string)))")
+        .alias("minhash_csv"))
+
+
+def q_lsh_buckets(spark, sf_dir) -> DataFrame:
+    return dedup.lsh_band_buckets(
+        _docs(spark, sf_dir).select("doc_id", "text"), k=16, n_bands=8)
+
+
+def q_lsh_candidates(spark, sf_dir) -> DataFrame:
+    return dedup.lsh_candidate_pairs(
+        _docs(spark, sf_dir).select("doc_id", "text"), k=16, n_bands=8)
+
+
+def q_ngram_jaccard_consecutive(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    a = d.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))
+    b = d.select((F.col("doc_id") - 1).alias("a"),
+                 F.col("doc_id").alias("b"), F.col("text").alias("tb"))
+    wa, wb = X.words("ta", "spark"), X.words("tb", "spark")
+    return (
+        a.join(b, "a")
+        .withColumn("jaccard", F.round(F.expr(X.jaccard(wa, wb, 3, "spark")), 6))
+        .select("a", "b", "jaccard")
+    )
+
+
+def q_simhash(spark, sf_dir) -> DataFrame:
+    return dedup.simhash_sketch(_docs(spark, sf_dir).select("doc_id", "text")) \
+        .select("doc_id", "simhash")
+
+
+def q_simhash_hamming_consecutive(spark, sf_dir) -> DataFrame:
+    s = dedup.simhash_sketch(_docs(spark, sf_dir).select("doc_id", "text"))
+    a = s.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    b = s.select((F.col("doc_id") - 1).alias("a"),
+                 F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
+    return (
+        a.join(b, "a")
+        .withColumn("hamming",
+                    F.expr(X.hamming32("sa", "sb", "spark")).cast("bigint"))
+        .select("a", "b", "hamming")
+    )
+
+
+def q_embedding_cosine_consecutive(spark, sf_dir) -> DataFrame:
+    return dedup.embedding_near_duplicates(
+        _embs(spark, sf_dir), threshold=-1.0).select(
+        "a", "b", F.round("cos", 6).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+def q_ann_bruteforce_topk(spark, sf_dir) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    res = similarity.brute_force_topk(
+        embs, embs.filter("vec_id % 100 = 0"), topk=5)
+    return res.select("query_id", "rank", "cand_id",
+                      F.round("cos", 6).alias("cos"))
+
+
+def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    res = similarity.lsh_topk(
+        embs, embs.filter("vec_id % 100 = 0"), topk=5,
+        n_planes=6, n_tables=2)
+    return res.select("query_id", "rank", "cand_id",
+                      F.round("cos", 6).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
+# Text stats
+# ---------------------------------------------------------------------------
+def q_text_stats(spark, sf_dir) -> DataFrame:
+    return with_text_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "n_chars_actual", "mean_word_len",
+        "stopword_ratio", "n_tokens_est", "lang_guess")
+
+
+# ---------------------------------------------------------------------------
+# G1 overlap labeling on portable synthetic geometry
+# ---------------------------------------------------------------------------
+def _g1_inputs(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(f"size({X.words('text', 'spark')})").alias("nw"))
+    words = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.lit(1).alias("page_num"),
+        F.explode(F.expr("sequence(0, nw - 1)")).alias("word_pos"),
+    ).withColumn(
+        "wbox",
+        F.expr("struct(cast(word_pos * 10 as double) as x0, "
+               "cast(0 as double) as y0, "
+               "cast(word_pos * 10 + 9 as double) as x1, "
+               "cast(9 as double) as y1)"),
+    )
+    anns = d.filter("nw >= 5").select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.lit(1).alias("page_num"),
+        F.explode(F.expr("sequence(0, cast(nw / 5 as int) - 1)")).alias("ann_ix"),
+    ).withColumn("class_id", F.expr("cast(ann_ix % 3 as int)")).withColumn(
+        "abox",
+        F.expr("struct(cast(ann_ix * 50 as double) as x0, "
+               "cast(0 as double) as y0, "
+               "cast(ann_ix * 50 + 34 as double) as x1, "
+               "cast(9 as double) as y1)"),
+    )
+    return words, anns
+
+
+def q_g1_word_labels(spark, sf_dir) -> DataFrame:
+    words, anns = _g1_inputs(spark, sf_dir)
+    return word_single_labels(words, anns, n_classes=4).select(
+        "url", "word_pos", "label")
+
+
+# ---------------------------------------------------------------------------
+# Reference aggregation shapes on TPC-H-ish tables (§2.9/§2.10 analogs)
+# ---------------------------------------------------------------------------
+def q_o1_group_minmax(spark, sf_dir) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+             F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+             F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+             F.count("*").alias("n"))
+    )
+
+
+def q_top1_per_group(spark, sf_dir) -> DataFrame:
+    """E10 selector shape on orders: top order per customer."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 6).alias("o_totalprice"))
+    )
+
+
+def q_noisy_or_events(spark, sf_dir) -> DataFrame:
+    """E8 noisy-OR shape on events: conf = clamp(sigmoid(value))."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    conf = "least(1 / (1 + exp(-value)), cast(0.999999 as double))"
+    return (
+        e.withColumn("conf", F.expr(conf))
+        .groupBy("user_id", "event_type")
+        .agg(F.round(1 - F.exp(F.sum(F.log1p(-F.col("conf")))), 6)
+             .alias("noisy_or"),
+             F.count("*").alias("n"))
+    )
+
+
+def q_s4_pagination_merge(spark, sf_dir) -> DataFrame:
+    """S4 paginated-response merge shape: per user, events concatenated in
+    (ts, event_id) order."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "concat_ws(',', transform(array_sort(collect_list("
+                "struct(ts, event_id))), x -> cast(x.event_id as string)))"
+            ).alias("event_ids_csv"),
+        )
+    )
+
+
+def q_train_test_split(spark, sf_dir) -> DataFrame:
+    """T1/T2 seeded deterministic split (portable hash instead of RNG)."""
+    d = _docs(spark, sf_dir)
+    h = X.h64("concat('split', cast(doc_id as string))", "spark")
+    return d.select(
+        "doc_id",
+        F.expr(f"CASE WHEN {h} % 10 < 9 THEN 'train' ELSE 'test' END").alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# Rows-only checks (non-SQL-expressible ops: splitter, G4, multimodal)
+# ---------------------------------------------------------------------------
+def q_split_windows(spark, sf_dir) -> DataFrame:
+    pages = pages_view(_doc_words(spark, sf_dir))
+    return split_pages_to_windows(pages, max_content_seq_len=24).select(
+        "url", "page_num", "window_ix", "start_word", "end_word", "n_tokens")
+
+
+def q_g4_box_merge(spark, sf_dir) -> DataFrame:
+    _, anns = _g1_inputs(spark, sf_dir)
+    # widen anns so consecutive ones touch → multi-box groups exist
+    wide = anns.withColumn(
+        "abox", F.expr("struct(abox.x0 as x0, abox.y0 as y0, "
+                       "abox.x1 + 120 as x1, abox.y1 as y1)"))
+    return merge_annotation_boxes(wide).select(
+        "url", "class_id", "group_id",
+        F.size("ann_ixs").alias("n_members"), "x0", "x1")
+
+
+def q_multimodal_metadata(spark, sf_dir) -> DataFrame:
+    return decode_metadata(synth_media_df(spark, 200)).select(
+        "media_id", "width", "height", "format", "n_bytes", "valid")

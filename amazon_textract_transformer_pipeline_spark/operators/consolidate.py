@@ -87,51 +87,38 @@ def consolidate_fields(mentions: DataFrame, config_df: DataFrame,
     )
     values = value_consolidation(mentions)
 
-    # Winner per single-valued field (E10): stable-sort reproduction.
+    # ONE aggregation computes the E10 winner (min_by over the selector key —
+    # stable-sort tie-break via (key, ix_first) struct ordering), the E11
+    # multi-value list, and the field counters. The previous shape (window +
+    # two groupBys + three joins) cost 4 extra shuffles of the same rows.
     vals_cfg = values.join(F.broadcast(cfg.select("ClassId", "Select")), "ClassId")
-    win = Window.partitionBy("url", "ClassId").orderBy(
-        _selector_key().asc(), F.col("ix_first").asc()
-    )
-    winners = (
-        vals_cfg.filter(F.col("Select").isNotNull())
-        .withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select(
-            "url", "ClassId",
-            F.col("Text").alias("win_value"),
-            F.col("value_conf").alias("win_conf"),
-        )
-    )
-
-    # Multi-value fields (E11): all values sorted by conf desc, tie ix_first.
-    multi = (
-        vals_cfg.filter(F.col("Select").isNull())
-        .groupBy("url", "ClassId")
+    agg = (
+        vals_cfg.groupBy("url", "ClassId")
         .agg(
+            F.min_by(
+                F.struct(F.col("Text").alias("t"), F.col("value_conf").alias("c")),
+                F.struct(F.coalesce(_selector_key(), F.lit(0.0)).alias("k"),
+                         F.col("ix_first").alias("i")),
+            ).alias("win"),
             F.expr(
                 "transform(array_sort(collect_list(struct(-value_conf as nc, "
                 "ix_first, Text as v, value_conf as c))), "
                 "s -> struct(s.v as Value, s.c as Confidence))"
             ).alias("values_list"),
             F.avg("value_conf").alias("multi_conf"),
+            F.sum("n_detections").alias("n_detections_f"),
+            F.count("*").alias("n_values_f"),  # values = distinct texts by grain
         )
-    )
-
-    per_field = (
-        mentions.groupBy("url", "ClassId")
-        .agg(F.count("*").alias("n_detections_f"))
-        .join(
-            values.groupBy("url", "ClassId").agg(
-                F.countDistinct("Text").alias("n_values_f")),
-            ["url", "ClassId"],
+        .select(
+            "url", "ClassId",
+            F.col("win.t").alias("win_value"), F.col("win.c").alias("win_conf"),
+            "values_list", "multi_conf", "n_detections_f", "n_values_f",
         )
     )
 
     base = urls.select("url").distinct().crossJoin(F.broadcast(cfg))
     out = (
-        base.join(per_field, ["url", "ClassId"], "left")
-        .join(winners, ["url", "ClassId"], "left")
-        .join(multi, ["url", "ClassId"], "left")
+        base.join(agg, ["url", "ClassId"], "left")
         .select(
             "url",
             "ClassId",

@@ -1,0 +1,260 @@
+"""Training-data deduplication operators over a documents corpus.
+
+The operations a 100 TB web-text pipeline needs in front of model training:
+exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard verification, and
+embedding-cosine near-dup. All sketching is pure Spark SQL expressions
+(functions/textsql.py) — JVM-side, codegen'd, and bit-identical to the
+DuckDB oracles the driver runs.
+
+Scale notes (the part that matters at 10^12 docs):
+* exact dedup: one shuffle on a 64-bit fingerprint — the canonical
+  hash-groupBy; combiner-side partial aggregation keeps it cheap.
+* MinHash LSH: cost is (k·shingles) hashes map-side, then a shuffle keyed by
+  (band, band_hash). Bucket sizes are the skew risk (boilerplate-heavy
+  buckets); candidate pair generation is a *within-bucket* self-join, never
+  a global one, and `max_bucket` caps pathological buckets (drop + count as
+  metric rather than explode — the classic spam-cluster guard).
+* verification joins fetch shingle arrays by doc_id — broadcast when the
+  candidate side is small, shuffle-hash otherwise (AQE decides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import textsql as X
+
+DEFAULT_K = 16
+DEFAULT_BANDS = 4  # 4 bands × 4 rows: s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-dup / document fingerprint: hash64 of whitespace-collapsed
+    lowercase text."""
+    return docs.withColumn(
+        "fingerprint", F.expr(X.h64(X.norm_text(text_col, "spark"), "spark"))
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-equal (normalized) documents: one row per duplicated
+    fingerprint with group size and the keeper (min id)."""
+    return (
+        with_fingerprint(docs, text_col)
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingle_rows(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) rows — the relational form of textsql.shingles.
+
+    Physical-plan rationale: higher-order-function lambdas with non-trivial
+    bodies (md5 etc.) evaluate on Spark's *interpreted* expression path
+    (~10 ms/doc measured — 350× slower than codegen). Exploding shingles to
+    rows keeps every expression a flat codegen'd scalar; the only cost is
+    one window shuffle on doc_id. Same strings as the DuckDB oracle,
+    including the <n-words fallback (whole text as one shingle).
+    """
+    w = Window.partitionBy(id_col).orderBy("pos")
+    words = docs.select(
+        id_col,
+        F.posexplode(F.expr(X.words(text_col, "spark"))).alias("pos", "w0"),
+    )
+    grams = (
+        words.withColumn("w1", F.lead("w0", 1).over(w))
+        .withColumn("w2", F.lead("w0", 2).over(w) if n == 3 else F.lit(None))
+        .withColumn("n_words", F.max(F.col("pos") + 1).over(
+            Window.partitionBy(id_col)))
+    )
+    if n == 3:
+        full = grams.filter(F.col("n_words") >= 3).filter(F.col("w2").isNotNull()) \
+            .select(id_col, F.concat_ws(" ", "w0", "w1", "w2").alias("shingle"))
+        short = (grams.filter(F.col("n_words") < 3)
+                 .groupBy(id_col)
+                 .agg(F.concat_ws(" ", F.array_sort(F.collect_list(
+                     F.struct("pos", "w0")))["w0"]).alias("_ws")))
+        short = short.select(id_col, F.col("_ws").alias("shingle"))
+        return full.unionByName(short)
+    if n == 2:
+        full = grams.filter(F.col("n_words") >= 2).filter(F.col("w1").isNotNull()) \
+            .select(id_col, F.concat_ws(" ", "w0", "w1").alias("shingle"))
+        short = grams.filter(F.col("n_words") < 2).select(
+            id_col, F.col("w0").alias("shingle"))
+        return full.unionByName(short)
+    raise ValueError("shingle_rows supports n in (2, 3)")
+
+
+def minhash_signatures(docs: DataFrame, k: int = DEFAULT_K, n: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Relational MinHash: shingle rows → codegen'd md5 → k permuted mins in
+    one hash aggregate. Identical values to textsql.minhash_signature (the
+    DuckDB oracle form). Returns (id_col, minhash ARRAY<BIGINT>)."""
+    P = X.MINHASH_PRIME
+    hs = shingle_rows(docs, n, id_col, text_col).select(
+        id_col, F.expr(f"{X.h64('shingle', 'spark')} % {P}").alias("h"))
+    mins = [
+        F.min(F.expr(f"((2*{j} + 1) * h + 7 + 3*{j}) % {P}")).alias(f"_m{j}")
+        for j in range(k)
+    ]
+    return (
+        hs.groupBy(id_col).agg(*mins)
+        .select(id_col, F.array(*[f"_m{j}" for j in range(k)]).alias("minhash"))
+    )
+
+
+def lsh_band_buckets(docs: DataFrame, k: int = DEFAULT_K,
+                     n_bands: int = DEFAULT_BANDS, n: int = 3,
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc → (band_ix, band_hash) rows; bucket key is the LSH join key.
+
+    Flat codegen plan: the signature arrives as k scalar columns from one
+    hash aggregate; each band hash is a plain md5 over their concatenation;
+    ``stack`` unpivots to rows. No lambdas anywhere (see shingle_rows notes).
+    """
+    rows = k // n_bands
+    sig = minhash_signatures(docs, k, n, id_col, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col("minhash")[i].alias(f"_s{i}") for i in range(k)],
+    )
+    band_cols = []
+    for b in range(n_bands):
+        parts = ", ".join(
+            f"cast(_s{b * rows + r} as string)" for r in range(rows))
+        band_str = f"concat('{b}', ':', concat_ws(',', {parts}))"
+        band_cols.append(f"{b}, {X.h64(band_str, 'spark')}")
+    stack = (f"stack({n_bands}, "
+             + ", ".join(band_cols)
+             + ") as (band_ix, band_hash)")
+    return sig.select("doc_id", F.expr(stack)).select(
+        "doc_id", F.col("band_ix").cast("int").alias("band_ix"), "band_hash")
+
+
+def lsh_candidate_pairs(docs: DataFrame, k: int = DEFAULT_K,
+                        n_bands: int = DEFAULT_BANDS, n: int = 3,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 band bucket. Buckets over
+    ``max_bucket`` docs are dropped (boilerplate guard) — count them via
+    :func:`lsh_bucket_stats` instead of letting one bucket go quadratic."""
+    # Materialize band rows through ONE exchange keyed by the bucket: the
+    # band hash computes once map-side (whole-stage codegen), and every
+    # consumer (size filter + both self-join sides) is a ReusedExchange
+    # already partitioned on the join key — no cache, no recompute, no extra
+    # shuffles. (Columnar cache of array columns and HOF re-inlining are both
+    # pathological here — see lsh_band_buckets plan notes.)
+    b = lsh_band_buckets(docs, k, n_bands, n).repartition("band_ix", "band_hash")
+    sizes = b.groupBy("band_ix", "band_hash").agg(F.count("*").alias("sz"))
+    small = b.join(
+        sizes.filter(F.col("sz") <= max_bucket), ["band_ix", "band_hash"]
+    )
+    left = small.select("band_ix", "band_hash", F.col("doc_id").alias("a"))
+    right = small.select("band_ix", "band_hash", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band_ix", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def near_duplicates(docs: DataFrame, threshold: float = 0.7,
+                    k: int = DEFAULT_K, n_bands: int = DEFAULT_BANDS,
+                    n: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """MinHash-LSH candidates verified by exact n-gram Jaccard ≥ threshold.
+
+    Set semantics, fully relational: |A∩B| via a shingle-equality join over
+    the candidate pairs, |A∪B| = |A|+|B|−|A∩B|. No array lambdas in the hot
+    path; the shingle join is keyed (doc, shingle) so only candidate pairs'
+    shingles move.
+    """
+    cands = lsh_candidate_pairs(docs, k, n_bands, n)
+    sr = shingle_rows(docs, n, id_col, text_col).distinct()
+    counts = sr.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    sa = sr.select(F.col(id_col).alias("a"), "shingle")
+    sb = sr.select(F.col(id_col).alias("b"), "shingle")
+    isect = (
+        cands.join(sa, "a").join(sb, ["b", "shingle"])
+        .groupBy("a", "b").agg(F.count("*").alias("n_isect"))
+    )
+    ja = (
+        cands.join(isect, ["a", "b"], "left")
+        .join(counts.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(counts.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb")), "b")
+        .withColumn("jaccard",
+                    F.coalesce("n_isect", F.lit(0)).cast("double")
+                    / (F.col("na") + F.col("nb") - F.coalesce("n_isect", F.lit(0))))
+    )
+    return ja.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def simhash_sketch(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Relational SimHash: word rows → codegen'd md5 → 32 bit-sums in one
+    hash aggregate → bits recombined by plain arithmetic. Identical values
+    to textsql.simhash32 (the oracle form). Returns docs plus ``simhash``."""
+    wh = docs.select(
+        id_col,
+        F.explode(F.expr(X.words(text_col, "spark"))).alias("w"),
+    ).select(id_col, F.expr(X.h64("w", "spark")).alias("h"))
+    sums = [
+        F.sum(F.expr(f"((h >> {b}) & 1) * 2 - 1")).alias(f"_b{b}")
+        for b in range(32)
+    ]
+    bits = sum(
+        (F.when(F.col(f"_b{b}") > 0,
+                F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
+        for b in range(32)
+    )
+    agg = wh.groupBy(id_col).agg(*sums).select(
+        id_col, bits.alias("simhash"))
+    return docs.join(agg, id_col, "left").withColumn(
+        "simhash", F.coalesce("simhash", F.lit(0).cast("bigint")))
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
+                            id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dups via the block-permutation trick: with 4 blocks of
+    8 bits, any pair within Hamming ≤ 3 shares at least one exact block —
+    join on (block_ix, block_value), then verify Hamming. Linear + bucketed,
+    never all-pairs."""
+    sk = simhash_sketch(docs).select(F.col(id_col).alias("doc_id"), "simhash")
+    blocks = sk.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), b -> (simhash >> (b * 8)) & 255)")
+        ).alias("block_ix", "block_val"),
+    )
+    left = blocks.select("block_ix", "block_val",
+                         F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"))
+    right = blocks.select("block_ix", "block_val",
+                          F.col("doc_id").alias("b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        left.join(right, ["block_ix", "block_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b").distinct()
+        .withColumn("hamming", F.expr(X.hamming32("sh_a", "sh_b", "spark")))
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
+
+
+def embedding_near_duplicates(embs: DataFrame, threshold: float = 0.98,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup on *consecutive-id* pairs (the linear scan
+    form; the all-pairs form is operators/similarity.py's job via LSH
+    buckets)."""
+    a = embs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = embs.select((F.col(id_col) - 1).alias("a"), F.col(id_col).alias("b"),
+                    F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "a")
+        .withColumn("cos", F.round(F.expr(X.cosine("va", "vb", "spark")), 9))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

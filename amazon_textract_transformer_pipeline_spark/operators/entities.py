@@ -62,6 +62,12 @@ def extract_mentions(enriched_words: DataFrame, config_df: DataFrame) -> DataFra
         .withColumn("cls_norm", F.col("cfg_cls"))
     )
 
+    # One window stage computes everything per-word: run ids (lag), and the
+    # flushing word's page (lead at the run's last word). A run's mention
+    # PageNum is the page of the word that flushes it — i.e. lead(page_num)
+    # at the run boundary; the doc's trailing run has lead = NULL and is
+    # thereby dropped, which is exactly the reference's missing final flush.
+    # All window functions share one (partition, order) → a single exchange.
     order = Window.partitionBy("url").orderBy("page_num", "word_pos")
     w = (
         w.withColumn("gpos", F.row_number().over(order))
@@ -73,21 +79,19 @@ def extract_mentions(enriched_words: DataFrame, config_df: DataFrame) -> DataFra
         )
         .withColumn("run_id", F.sum("chg").over(
             order.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("max_run", F.max("run_id").over(Window.partitionBy("url")))
+        .withColumn("_next_run", F.lead("run_id").over(order))
+        .withColumn(
+            "flush_page",
+            F.when(F.col("_next_run") != F.col("run_id"),
+                   F.lead("page_num").over(order)),
+        )
     )
-
-    # Page of each run's first word; a mention's PageNum is the *next* run's
-    # first page (the flushing word).
-    run_first_pages = w.groupBy("url", "run_id").agg(
-        F.min_by("page_num", "gpos").alias("first_page")
-    )
-    return _finish_mentions(w, run_first_pages)
+    return _finish_mentions(w)
 
 
-def _finish_mentions(w: DataFrame, run_first_pages: DataFrame) -> DataFrame:
+def _finish_mentions(w: DataFrame) -> DataFrame:
     runs = (
         w.filter(F.col("cls_norm").isNotNull())
-        .filter(F.col("run_id") < F.col("max_run"))
         .groupBy("url", "run_id")
         .agg(
             F.first("cls_norm").alias("ClassId"),
@@ -108,14 +112,11 @@ def _finish_mentions(w: DataFrame, run_first_pages: DataFrame) -> DataFrame:
             F.min(F.col("box.top")).alias("_t"),
             F.max(F.col("box.left") + F.col("box.width")).alias("_r"),
             F.max(F.col("box.top") + F.col("box.height")).alias("_b"),
+            F.max("flush_page").alias("PageNum"),
         )
     )
-    nxt = run_first_pages.select(
-        "url", (F.col("run_id") - 1).alias("run_id"),
-        F.col("first_page").alias("PageNum"),
-    )
     out = (
-        runs.join(nxt, ["url", "run_id"], "inner")
+        runs.filter(F.col("PageNum").isNotNull())  # trailing run never flushed
         .select(
             "url",
             "run_id",

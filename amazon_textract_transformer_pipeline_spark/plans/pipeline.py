@@ -51,7 +51,9 @@ def extract_pipeline(
     if salt_partitions:
         pages = salted_repartition_by_url(pages, salt_partitions)
 
-    doc_words = html_to_words(pages)
+    # the front-end UDF output feeds text assembly, the word view, AND the
+    # url universe — persist it (the single most expensive recompute)
+    doc_words = html_to_words(pages).persist()
     text = assemble_text(doc_words)
 
     if model == "sql-stub":

@@ -149,7 +149,8 @@ def make_page_row(i: int, seed: int = 42) -> dict:
 
 
 def synthetic_pages_df(spark: SparkSession, n: int, seed: int = 42,
-                       partitions: int | None = None) -> DataFrame:
+                       partitions: int | None = None,
+                       start: int = 0) -> DataFrame:
     """Distributed generation: ``spark.range(n)`` → Arrow-batched rows.
 
     At bench scale this is the stand-in for the 10^12-row Iceberg scan; each
@@ -161,5 +162,6 @@ def synthetic_pages_df(spark: SparkSession, n: int, seed: int = 42,
             rows = [make_page_row(int(i), seed) for i in b["id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES_INPUT_SCHEMA])
 
-    rng_df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    rng_df = spark.range(start, start + n, 1,
+                         partitions or spark.sparkContext.defaultParallelism)
     return rng_df.mapInPandas(gen, schema=PAGES_INPUT_SCHEMA)

@@ -1,0 +1,147 @@
+"""Dedup family, similarity search, text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_textract_transformer_pipeline_spark.operators import dedup, similarity
+from amazon_textract_transformer_pipeline_spark.operators.multimodal import (
+    decode_image,
+    decode_metadata,
+    explode_frames,
+    extract_features,
+    frame_sample,
+    synth_media_df,
+)
+from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+    with_text_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates_planted(spark, docs):
+    """Plant exact dups (with whitespace/case noise) and find exactly them."""
+    noisy = docs.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "), F.col("text"), F.lit(" "))).alias("text"),
+    )
+    base = docs.select("doc_id", F.upper("text").alias("text"))
+    groups = dedup.exact_duplicates(base.unionByName(noisy))
+    assert groups.count() == 5
+    assert groups.filter("n_docs <> 2").count() == 0
+    assert groups.agg(F.max("keeper_id")).collect()[0][0] < 100000
+
+
+def test_minhash_near_duplicates_planted(spark, docs):
+    """A doc with one word changed out of ~25 → jaccard well above 0.7;
+    unrelated docs stay below."""
+    mutated = docs.limit(8).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    nd = dedup.near_duplicates(corpus, threshold=0.5).cache()
+    found_pairs = {(r.a, r.b) for r in nd.collect()}
+    planted = {(i, i + 200000) for i in range(8)}
+    assert planted <= found_pairs
+    # jaccard sane
+    assert nd.filter("jaccard > 1.0 OR jaccard < 0.5").count() == 0
+
+
+def test_lsh_is_not_all_pairs(spark, docs):
+    """Candidate set must be far below the N^2 cross join."""
+    n = docs.count()
+    cands = dedup.lsh_candidate_pairs(docs.select("doc_id", "text")).count()
+    assert cands < n * (n - 1) / 20
+
+
+def test_simhash_near_duplicates(spark, docs):
+    sk = dedup.simhash_sketch(docs.select("doc_id", "text"))
+    assert sk.filter("simhash < 0 OR simhash > 4294967295").count() == 0
+    clones = docs.limit(4).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text")
+    pairs = dedup.simhash_near_duplicates(
+        docs.select("doc_id", "text").unionByName(clones), max_hamming=0)
+    found = {(r.a, r.b) for r in pairs.collect()}
+    assert {(i, i + 300000) for i in range(4)} <= found
+
+
+def test_embedding_near_duplicates(spark, embs):
+    nd = dedup.embedding_near_duplicates(embs, threshold=-1.0)
+    assert nd.count() == embs.count() - 1  # every consecutive pair scored
+    assert nd.filter("cos > 1.0000001 OR cos < -1.0000001").count() == 0
+
+
+def test_brute_force_topk(spark, embs):
+    queries = embs.filter("vec_id % 100 = 0")
+    res = similarity.brute_force_topk(embs, queries, topk=5).cache()
+    nq = queries.count()
+    assert res.count() == nq * 5
+    # rank 1 has max cos per query; no self matches
+    assert res.filter("cand_id = query_id").count() == 0
+    r1 = res.filter("rank = 1").select("query_id", F.col("cos").alias("c1"))
+    mx = res.groupBy("query_id").agg(F.max("cos").alias("cmax"))
+    assert r1.join(mx, "query_id").filter("c1 <> cmax").count() == 0
+
+
+def test_lsh_topk_recall(spark, embs):
+    queries = embs.filter("vec_id % 50 = 0")
+    exact = similarity.brute_force_topk(embs, queries, topk=5)
+    # random 64-dim vectors are a worst case for sign-LSH (top-5 neighbors
+    # aren't very close); 4 planes × 8 tables trades candidate volume for
+    # recall — the knob a real deployment tunes per corpus
+    approx = similarity.lsh_topk(embs, queries, topk=5, n_planes=4, n_tables=8)
+    rec = similarity.topk_recall(exact, approx)
+    assert rec > 0.5, f"recall too low: {rec}"
+
+
+def test_text_stats(spark, docs):
+    st = with_text_stats(docs).cache()
+    row = st.filter("n_words > 0").limit(1).collect()[0]
+    assert row.n_tokens_est >= row.n_words
+    assert 0.0 <= row.stopword_ratio <= 1.0
+    assert st.filter("lang_guess NOT IN ('en','de','fr','es','und')").count() == 0
+    assert st.select("fingerprint").distinct().count() > 400  # mostly unique
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media_df(spark, 50).cache()
+    meta = decode_metadata(media)
+    assert meta.filter("valid").count() == 50
+    m = meta.limit(1).collect()[0]
+    assert m.width >= 64 and m.format in ("png", "jpeg", "tiff", "wav", "mp4")
+
+    # corrupt blob → valid=false row, not an exception
+    bad = media.limit(1).select("media_id", F.expr("cast('junk' as binary)").alias("blob"))
+    assert decode_metadata(bad).filter("NOT valid").count() == 1
+
+    feats = extract_features(media).limit(1).collect()[0]
+    assert len(feats.byte_histogram) == 16
+    assert abs(sum(feats.byte_histogram) - 1.0) < 1e-9
+    assert 0 <= feats.entropy <= 4.0 + 1e-9
+
+    fr = frame_sample(media, n_frames=4)
+    ex = explode_frames(fr)
+    assert ex.count() == 200
+    assert ex.groupBy("media_id").count().filter("count <> 4").count() == 0
+
+    with pytest.raises(NotImplementedError):
+        decode_image(media)
+
+
+def test_multimodal_determinism(spark):
+    a = synth_media_df(spark, 20).select("media_id", F.md5(F.col("blob")).alias("h"))
+    b = synth_media_df(spark, 20).select("media_id", F.md5(F.col("blob")).alias("h"))
+    assert a.exceptAll(b).count() == 0
