@@ -25,6 +25,11 @@ def field_config_rows(cfgs: list[dict]) -> list[dict]:
             if sel not in SELECTORS:
                 raise ValueError(f"Unknown selector {sel!r}; known: {SELECTORS}")
         ignore = bool(c.get("Ignore", False))
+        ne, np_ = c.get("NormalizerEndpoint"), c.get("NormalizerPrompt")
+        if bool(ne) ^ bool(np_):
+            raise ValueError(
+                "NormalizerEndpoint and NormalizerPrompt must be set together "
+                f"(field {c['Name']!r})")  # util/config.py:90-95
         rows.append(
             {
                 "ClassId": int(c["ClassId"]),
@@ -33,6 +38,8 @@ def field_config_rows(cfgs: list[dict]) -> list[dict]:
                 "Optional": c.get("Optional"),
                 "Select": sel,
                 "SortOrder": -1 if ignore else ix,
+                "NormalizerEndpoint": ne,
+                "NormalizerPrompt": np_,
             }
         )
         if not ignore:

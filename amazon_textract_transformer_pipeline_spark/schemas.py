@@ -144,5 +144,7 @@ FIELD_CONFIG_SCHEMA = T.StructType(
         T.StructField("Optional", T.BooleanType(), True),
         T.StructField("Select", T.StringType(), True),  # confidence|first|last|longest|shortest|None
         T.StructField("SortOrder", T.IntegerType(), False),  # position in config
+        T.StructField("NormalizerEndpoint", T.StringType(), True),
+        T.StructField("NormalizerPrompt", T.StringType(), True),
     ]
 )

@@ -1,0 +1,209 @@
+"""P4-P6 naming/URI ops, T1-T7 training ops, E5-E6+I6 normalization,
+XY-cut reading order, S1/S2 sources."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_textract_transformer_pipeline_spark.config import field_config_df
+from amazon_textract_transformer_pipeline_spark.functions.naming import (
+    df_to_snake,
+    pascal_to_snake,
+    remap_uri_prefix,
+    snake_to_pascal,
+)
+from amazon_textract_transformer_pipeline_spark.operators import training as T
+from amazon_textract_transformer_pipeline_spark.operators.entities import (
+    extract_mentions,
+    normalize_mentions,
+)
+from amazon_textract_transformer_pipeline_spark.operators.seq2seq import (
+    make_normalizer,
+    normalize_date_text,
+    rule_based_date_normalizer,
+)
+
+
+def test_pascal_snake_roundtrip():
+    assert pascal_to_snake("NumDetections") == "num_detections"
+    assert pascal_to_snake("ClassId") == "class_id"
+    assert pascal_to_snake("S3Uri") == "s3_uri"
+    assert pascal_to_snake("IxFirstDetection") == "ix_first_detection"
+    assert snake_to_pascal("num_detections") == "NumDetections"
+    assert snake_to_pascal("class_id") == "ClassId"
+
+
+def test_df_rename_and_uri_remap(spark):
+    df = spark.createDataFrame([(1, "s3://old-bucket/path/doc.json")],
+                               "ClassId int, TextractRef string")
+    s = df_to_snake(df)
+    assert s.columns == ["class_id", "textract_ref"]
+    r = remap_uri_prefix(s, "textract_ref", "s3://old-bucket/", "s3://new/")
+    assert r.collect()[0].textract_ref == "s3://new/path/doc.json"
+    # only prefix matches move
+    df2 = spark.createDataFrame([("x/s3://old-bucket/y",)], "u string")
+    assert remap_uri_prefix(df2, "u", "s3://old-bucket/", "Z").collect()[0].u \
+        == "x/s3://old-bucket/y"
+
+
+def test_date_normalizer_rules():
+    cases = {
+        "31/12/2001": "2001-12-31",
+        "2001-12-31": "2001-12-31",
+        "31 December 2001": "2001-12-31",
+        "Dec 31, 2001": "2001-12-31",
+        "31.12.2001": "2001-12-31",
+        "1 Jan 1999": "1999-01-01",
+        "not a date": None,
+        "45/99/2001": None,
+    }
+    for raw, want in cases.items():
+        assert normalize_date_text(raw) == want, raw
+    outs = rule_based_date_normalizer(
+        ["Convert dates to YYYY-MM-DD: 31/12/2001"])
+    assert outs == ["2001-12-31"]
+
+
+def test_normalize_mentions_dedup_and_rawtext(spark):
+    """E5: one normalizer call per distinct (endpoint, input); E6: raw_text
+    preserved; failures keep original text."""
+    cfg = field_config_df(spark, [
+        {"ClassId": 1, "Name": "Date", "NormalizerEndpoint": "date-ep",
+         "NormalizerPrompt": "Convert dates to YYYY-MM-DD: "},
+        {"ClassId": 2, "Name": "Plain"},
+    ])
+    words = spark.createDataFrame(
+        [("u1", 1, 0, 0, "31/12/2001", 99.0, "w0",
+          {"left": .1, "top": .1, "width": .1, "height": .1}, 1, 0.9),
+         ("u1", 1, 1, 0, "x", 99.0, "w1",
+          {"left": .2, "top": .1, "width": .1, "height": .1}, 9, 0.9),
+         ("u1", 1, 2, 0, "31/12/2001", 99.0, "w2",
+          {"left": .3, "top": .1, "width": .1, "height": .1}, 1, 0.8),
+         ("u1", 1, 3, 0, "y", 99.0, "w3",
+          {"left": .4, "top": .1, "width": .1, "height": .1}, 9, 0.9),
+         ("u1", 1, 4, 0, "garbage", 99.0, "w4",
+          {"left": .5, "top": .1, "width": .1, "height": .1}, 1, 0.7),
+         ("u1", 1, 5, 0, "keep", 99.0, "w5",
+          {"left": .6, "top": .1, "width": .1, "height": .1}, 2, 0.9),
+         ("u1", 1, 6, 0, "end", 99.0, "w6",
+          {"left": .7, "top": .1, "width": .1, "height": .1}, 9, 0.9)],
+        "url string, page_num int, word_pos int, line_id int, text string, "
+        "conf double, word_id string, "
+        "box struct<left:double,top:double,width:double,height:double>, "
+        "pred_cls int, pcc double",
+    )
+    mentions = extract_mentions(words, cfg)
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def spy(inputs):
+        acc.add(len(inputs))
+        from amazon_textract_transformer_pipeline_spark.operators.seq2seq import (
+            rule_based_date_normalizer as rb,
+        )
+        return rb(inputs)
+
+    normed = normalize_mentions(mentions, cfg, make_normalizer(spy)).cache()
+    rows = {(r.Text, r.RawText) for r in normed.filter("ClassId = 1").collect()}
+    # two identical date mentions both normalized; raw preserved
+    assert ("2001-12-31", "31/12/2001") in rows
+    # unparseable → original kept, RawText null
+    assert ("garbage", None) in rows
+    # non-normalizer class untouched
+    plain = normed.filter("ClassId = 2").collect()[0]
+    assert plain.Text == "keep" and plain.RawText is None
+    # E5 dedup: 3 date-class mentions but only 2 DISTINCT inputs reached the
+    # normalizer ("...31/12/2001" deduped, "...garbage" once)
+    assert acc.value == 2
+
+
+def test_stratified_sample_and_split(spark):
+    m = spark.createDataFrame(
+        [(f"d{i}", p) for i in range(200) for p in (1, 2, 3)],
+        "source_ref string, page_num int",
+    )
+    excl = spark.createDataFrame([(f"d{i}",) for i in range(100)],
+                                 "source_ref string")
+    s = T.stratified_first_page_sample(m, 0.5, seed=7, exclude=excl).cache()
+    assert s.filter("page_num <> 1").count() == 0
+    assert s.join(excl, "source_ref", "left_semi").count() == 0
+    assert 20 <= s.count() <= 80  # ~50 of the 100 remaining firsts
+    # determinism
+    s2 = T.stratified_first_page_sample(m, 0.5, seed=7, exclude=excl)
+    assert s.exceptAll(s2).count() == 0
+
+    tr, te = T.train_test_split(m, 0.9, seed=1)
+    assert tr.count() + te.count() == 600
+
+
+def test_manifest_union_and_validation(spark):
+    m1 = spark.createDataFrame([("a", "s3://x/1", "labels-v1")],
+                               "source_ref string, textract_ref string, my_label string")
+    m2 = spark.createDataFrame([("b", "s3://x/2")],
+                               "source_ref string, textract_ref string")
+    u = T.consolidate_manifests([m1, m2], {"my_label": "label"})
+    assert set(u.columns) == {"source_ref", "textract_ref", "label"}
+    assert u.count() == 2
+    uris = T.pre_annotated_uris([m1, m2])
+    assert [r.textract_ref for r in uris.collect()] == ["s3://x/1", "s3://x/2"]
+
+    pages = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 3)],
+        "source_ref string, page_num int")
+    v = {r.source_ref: r.pages_valid for r in T.validate_page_sequences(pages).collect()}
+    assert v == {"a": True, "b": False}
+
+
+def test_synthetic_date_pairs(spark):
+    df = T.synthetic_date_pairs(spark, 50).cache()
+    assert df.count() == 50
+    rows = df.collect()
+    from amazon_textract_transformer_pipeline_spark.operators.seq2seq import (
+        rule_based_date_normalizer,
+    )
+    outs = rule_based_date_normalizer([r.src_text for r in rows])
+    ok = sum(1 for o, r in zip(outs, rows) if o == r.tgt_text)
+    assert ok >= 40  # normalizer solves most generated formats
+
+
+def test_xy_cut_reading_order(spark):
+    """Shuffled words on a page re-sort into visual reading order."""
+    from amazon_textract_transformer_pipeline_spark.operators.geometry import (
+        sort_words_reading_order,
+    )
+
+    def w(t, left, top, lid):
+        return {"text": t, "conf": 90.0, "id": t, "line_id": lid,
+                "box": {"left": left, "top": top, "width": 0.05, "height": 0.02}}
+
+    # two visual rows; given shuffled
+    words = [w("c", 0.5, 0.101, 0), w("a", 0.1, 0.10, 0), w("e", 0.3, 0.30, 1),
+             w("b", 0.3, 0.102, 0), w("d", 0.1, 0.301, 1)]
+    df = spark.createDataFrame(
+        [(words,)],
+        "words array<struct<text:string,conf:double,id:string,line_id:int,"
+        "box:struct<left:double,top:double,width:double,height:double>>>")
+    got = df.select(sort_words_reading_order(F.col("words")).alias("s")).collect()[0].s
+    assert [x.text for x in got] == ["a", "b", "c", "d", "e"]
+
+
+def test_binary_and_manifest_sources(spark, tmp_path):
+    from amazon_textract_transformer_pipeline_spark.sources.readers import (
+        read_document_corpus,
+        read_manifest_jsonl,
+    )
+
+    d = tmp_path / "corpus" / "sub"
+    d.mkdir(parents=True)
+    (d / "a.html").write_bytes(b"<p>hi</p>")
+    (d / ".hidden").write_bytes(b"nope")
+    df = read_document_corpus(spark, str(tmp_path / "corpus"))
+    rows = df.collect()
+    assert len(rows) == 1 and bytes(rows[0].html) == b"<p>hi</p>"
+
+    mf = tmp_path / "manifest.jsonl"
+    mf.write_text('{"source-ref": "s3://x/a.png", "page-num": 1}\n'
+                  '{"source-ref": "s3://x/b.png", "page-num": 2}\n')
+    m = read_manifest_jsonl(spark, str(mf))
+    assert m.count() == 2 and "source-ref" in m.columns
