@@ -140,6 +140,66 @@ def split_pages_to_windows(
     return pages.mapInPandas(run, schema=WINDOW_SCHEMA)
 
 
+TOKENIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("page_num", T.IntegerType(), False),
+        T.StructField("window_ix", T.IntegerType(), False),
+        T.StructField("tokens", T.ArrayType(T.StringType()), False),
+        # token -> word index within the window (HF word_ids; -1 for CLS/SEP)
+        T.StructField("word_ids", T.ArrayType(T.IntegerType()), False),
+        # per-token 0-1000 boxes; CLS=(0,0,0,0), SEP=(1000,)*4 (ner.py:187-275)
+        T.StructField("boxes1000", T.ArrayType(T.ArrayType(T.IntegerType())), False),
+    ]
+)
+
+CLS_BOX = [0, 0, 0, 0]
+SEP_BOX = [1000, 1000, 1000, 1000]
+
+
+def tokenize_windows(windows: DataFrame, tokenize=stub_tokenize) -> DataFrame:
+    """I1 collation (SURVEY §2.7): window rows → model-ready token records.
+
+    Word-level boxes index-select to token level via the word_ids map;
+    special tokens get the reference's CLS/SEP box conventions
+    (``ner.py:187-275``). The 0-1000 boxes truncate like P2
+    (``geometry.py:50-69``). This is the exact tensor-input shape a real
+    LayoutLM collator consumes; the stub model skips it (its logits don't
+    depend on boxes) but the plumbing is exercised by tests.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out: dict[str, list] = {f.name: [] for f in TOKENIZED_SCHEMA}
+            for url, page, wix, words in zip(
+                b["url"], b["page_num"], b["window_ix"], b["words"]
+            ):
+                toks: list[str] = ["[CLS]"]
+                wids: list[int] = [-1]
+                boxes: list[list[int]] = [CLS_BOX]
+                for i, w in enumerate(words):
+                    box = w["box"]
+                    b1000 = [int(box["left"] * 1000), int(box["top"] * 1000),
+                             int((box["left"] + box["width"]) * 1000),
+                             int((box["top"] + box["height"]) * 1000)]
+                    for piece in tokenize(w["text"]):
+                        toks.append(piece)
+                        wids.append(i)
+                        boxes.append(b1000)
+                toks.append("[SEP]")
+                wids.append(-1)
+                boxes.append(SEP_BOX)
+                out["url"].append(url)
+                out["page_num"].append(int(page))
+                out["window_ix"].append(int(wix))
+                out["tokens"].append(toks)
+                out["word_ids"].append(wids)
+                out["boxes1000"].append(boxes)
+            yield pd.DataFrame(out)
+
+    return windows.select("url", "page_num", "window_ix", "words") \
+        .mapInPandas(run, schema=TOKENIZED_SCHEMA)
+
+
 def windows_with_length_bucket(windows: DataFrame, n_buckets: int = 8,
                                max_len: int = DEFAULT_MAX_CONTENT_SEQ_LEN) -> DataFrame:
     """Straggler lever (SURVEY §4): tag windows with a token-length bucket so

@@ -111,7 +111,7 @@ def _extract_once(cores: int, n_docs: int) -> None:
     in one process share the gateway JVM and leak cache/GC debris — measured
     4× slowdowns on the second session."""
     spark = get_spark(f"bench-scale-{cores}", cores=cores,
-                      shuffle_partitions=cores)
+                      shuffle_partitions=cores * 3)  # finer grain → balance
     run_extraction(spark, max(n_docs // 10, 500))  # warm JVM/JIT/Arrow
     # best-of-2: JIT compilation and GC ergonomics make single local-mode
     # runs noisy (±40% observed); the faster run reflects steady state

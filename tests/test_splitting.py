@@ -91,3 +91,30 @@ def test_windows_cover_pages(spark, doc_words):
 
     # multi-window pages exist in the fixture (long-page mod 89)
     assert win.filter("window_ix > 0").count() > 0
+
+
+def test_tokenize_windows_collation(spark, doc_words):
+    """I1: CLS/SEP conventions, word_ids map, token-level box select."""
+    from amazon_textract_transformer_pipeline_spark.operators.splitting import (
+        CLS_BOX,
+        SEP_BOX,
+        tokenize_windows,
+    )
+
+    pages = pages_view(doc_words)
+    win = split_pages_to_windows(pages)
+    tk = tokenize_windows(win).limit(20).collect()
+    assert len(tk) == 20
+    for r in tk:
+        assert r.tokens[0] == "[CLS]" and r.tokens[-1] == "[SEP]"
+        assert r.word_ids[0] == -1 and r.word_ids[-1] == -1
+        assert list(r.boxes1000[0]) == CLS_BOX
+        assert list(r.boxes1000[-1]) == SEP_BOX
+        assert len(r.tokens) == len(r.word_ids) == len(r.boxes1000)
+        # word_ids monotone nondecreasing over content tokens
+        content = [w for w in r.word_ids if w >= 0]
+        assert content == sorted(content)
+        # token count consistent with the splitter's budget (+2 specials)
+        assert len(r.tokens) <= 512
+        # all boxes within 0-1000
+        assert all(0 <= v <= 1000 for b in r.boxes1000 for v in b)
