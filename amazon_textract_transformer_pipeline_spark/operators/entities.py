@@ -54,12 +54,18 @@ def extract_mentions(enriched_words: DataFrame, config_df: DataFrame) -> DataFra
     """
     cfg = F.broadcast(
         config_df.filter(~F.coalesce("Ignore", F.lit(False)))
-        .select(F.col("ClassId").alias("cfg_cls"), F.col("Name").alias("cls_name"))
+        .select(F.col("ClassId").alias("cfg_cls"))
     )
     w = (
         enriched_words.join(cfg, F.col("pred_cls") == F.col("cfg_cls"), "left")
         # cls_norm: None unless the class is configured & not ignored
         .withColumn("cls_norm", F.col("cfg_cls"))
+        # fold the two confidence scales before the shuffle (extract.py:46-54)
+        # and shed every column the window/agg don't need: the window sort is
+        # the engine's hottest shuffle, row width is its cost
+        .withColumn("wconf", F.least(F.coalesce("pcc", F.lit(1.0)), F.col("conf")))
+        .select("url", "page_num", "word_pos", "line_id", "text", "word_id",
+                "box", "cls_norm", "wconf")
     )
 
     # One window stage computes everything per-word: run ids (lag), and the
@@ -86,7 +92,15 @@ def extract_mentions(enriched_words: DataFrame, config_df: DataFrame) -> DataFra
                    F.lead("page_num").over(order)),
         )
     )
-    return _finish_mentions(w)
+    # class names re-attach on the tiny mention relation post-agg (broadcast)
+    # instead of riding every word through the window shuffle
+    names = F.broadcast(
+        config_df.filter(~F.coalesce("Ignore", F.lit(False)))
+        .select("ClassId", F.col("Name").alias("ClassName"))
+    )
+    return _finish_mentions(w).join(names, "ClassId").select(
+        "url", "run_id", "ClassId", "ClassName", "Confidence", "Blocks",
+        "BoundingBox", "PageNum", "Text", "RawText", "ixe")
 
 
 def _finish_mentions(w: DataFrame) -> DataFrame:
@@ -95,8 +109,7 @@ def _finish_mentions(w: DataFrame) -> DataFrame:
         .groupBy("url", "run_id")
         .agg(
             F.first("cls_norm").alias("ClassId"),
-            F.first("cls_name").alias("ClassName"),
-            F.min(F.least(F.coalesce("pcc", F.lit(1.0)), F.col("conf"))).alias("Confidence"),
+            F.min("wconf").alias("Confidence"),
             F.array_sort(
                 F.collect_list(
                     F.struct(
@@ -121,7 +134,6 @@ def _finish_mentions(w: DataFrame) -> DataFrame:
             "url",
             "run_id",
             "ClassId",
-            "ClassName",
             "Confidence",
             F.expr("transform(items, it -> it.word_id)").alias("Blocks"),
             F.struct(
