@@ -79,11 +79,18 @@ def q_field_values(spark, sf_dir) -> DataFrame:
         F.round("value_conf", 6).alias("value_conf"))
 
 
+def _all_urls(spark, sf_dir) -> DataFrame:
+    """Url universe straight from the documents scan (url = 'doc://'||doc_id,
+    the bridge contract) — avoids a second consumer of the expensive
+    front-end plan, which round 1 papered over with a leaked .persist()."""
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"))
+
+
 def q_fields(spark, sf_dir) -> DataFrame:
     cfg = field_config_df(spark, DEMO_CONFIG)
-    dw = _doc_words(spark, sf_dir).persist()
-    m = extract_mentions(stub_predictions(words_view(dw)), cfg)
-    f = consolidate_fields(m, cfg, dw.select("url"))
+    m = _mentions(spark, sf_dir)
+    f = consolidate_fields(m, cfg, _all_urls(spark, sf_dir))
     return f.select(
         "url", "ClassId", "FieldName", "SortOrder",
         F.col("NumDetections").cast("bigint").alias("NumDetections"),
@@ -93,9 +100,8 @@ def q_fields(spark, sf_dir) -> DataFrame:
 
 def q_doc_confidence(spark, sf_dir) -> DataFrame:
     cfg = field_config_df(spark, DEMO_CONFIG)
-    dw = _doc_words(spark, sf_dir).persist()
-    m = extract_mentions(stub_predictions(words_view(dw)), cfg)
-    f = consolidate_fields(m, cfg, dw.select("url"))
+    m = _mentions(spark, sf_dir)
+    f = consolidate_fields(m, cfg, _all_urls(spark, sf_dir))
     return doc_confidence(f).select(
         "url", F.round("Confidence", 6).alias("Confidence"))
 
@@ -158,8 +164,10 @@ def q_simhash_hamming_consecutive(spark, sf_dir) -> DataFrame:
 
 
 def q_embedding_cosine_consecutive(spark, sf_dir) -> DataFrame:
+    # threshold=None: a NULL cosine (zero-norm vector) must survive to match
+    # the filterless oracle; any `cos >= t` predicate would drop it.
     return dedup.embedding_near_duplicates(
-        _embs(spark, sf_dir), threshold=-1.0).select(
+        _embs(spark, sf_dir), threshold=None).select(
         "a", "b", F.round("cos", 6).alias("cos"))
 
 

@@ -99,8 +99,11 @@ def simhash32(ws_expr: str, engine: str) -> str:
                 f"ELSE cast(0 as bigint) END), cast(0 as bigint), (a, x) -> a + x)")
     hs = f"list_transform({ws_expr}, w -> {base})"
     bitsum = f"list_sum(list_transform({hs}, h -> ((h >> b) & 1) * 2 - 1))"
-    return (f"list_sum(list_transform(range(0, 32), b -> "
-            f"CASE WHEN ({bitsum}) > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END))")
+    # DuckDB list_sum returns HUGEINT which lands in pandas as float64 and
+    # breaks the driver's value-hash vs Spark's int64 — cast back to BIGINT.
+    return (f"CAST(list_sum(list_transform(range(0, 32), b -> "
+            f"CASE WHEN ({bitsum}) > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) "
+            f"AS BIGINT)")
 
 
 def hamming32(a: str, b: str, engine: str) -> str:

@@ -65,6 +65,13 @@ def shingle_rows(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         id_col,
         F.posexplode(F.expr(X.words(text_col, "spark"))).alias("pos", "w0"),
     )
+    # Zero-word docs produce no exploded rows and would vanish from the
+    # sketch, while the oracle HOF form (textsql.shingles) falls back to a
+    # single '' shingle. Emit that row explicitly so both forms agree.
+    empty = docs.select(
+        F.col(id_col),
+        F.expr(f"size({X.words(text_col, 'spark')})").alias("_nw"),
+    ).filter("_nw = 0").select(id_col, F.lit("").alias("shingle"))
     grams = (
         words.withColumn("w1", F.lead("w0", 1).over(w))
         .withColumn("w2", F.lead("w0", 2).over(w) if n == 3 else F.lit(None))
@@ -79,13 +86,13 @@ def shingle_rows(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                  .agg(F.concat_ws(" ", F.array_sort(F.collect_list(
                      F.struct("pos", "w0")))["w0"]).alias("_ws")))
         short = short.select(id_col, F.col("_ws").alias("shingle"))
-        return full.unionByName(short)
+        return full.unionByName(short).unionByName(empty)
     if n == 2:
         full = grams.filter(F.col("n_words") >= 2).filter(F.col("w1").isNotNull()) \
             .select(id_col, F.concat_ws(" ", "w0", "w1").alias("shingle"))
         short = grams.filter(F.col("n_words") < 2).select(
             id_col, F.col("w0").alias("shingle"))
-        return full.unionByName(short)
+        return full.unionByName(short).unionByName(empty)
     raise ValueError("shingle_rows supports n in (2, 3)")
 
 
@@ -243,18 +250,21 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
     return pairs.filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
 
 
-def embedding_near_duplicates(embs: DataFrame, threshold: float = 0.98,
+def embedding_near_duplicates(embs: DataFrame, threshold: float | None = 0.98,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-dup on *consecutive-id* pairs (the linear scan
     form; the all-pairs form is operators/similarity.py's job via LSH
-    buckets)."""
+    buckets). ``threshold=None`` keeps every pair — including NULL cosines
+    from zero-norm vectors, which any ``cos >= t`` predicate would silently
+    drop."""
     a = embs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = embs.select((F.col(id_col) - 1).alias("a"), F.col(id_col).alias("b"),
                     F.col(vec_col).alias("vb"))
-    return (
+    scored = (
         a.join(b, "a")
         .withColumn("cos", F.round(F.expr(X.cosine("va", "vb", "spark")), 9))
-        .filter(F.col("cos") >= threshold)
-        .select("a", "b", "cos")
     )
+    if threshold is not None:
+        scored = scored.filter(F.col("cos") >= threshold)
+    return scored.select("a", "b", "cos")

@@ -43,39 +43,71 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, topk: int = 5,
     )
 
 
-def _sign_bucket_expr(vec_col: str, n_planes: int, table_ix: int, engine: str) -> str:
+def _plane_coefficients(n_planes: int, table_ix: int, dim: int) -> list[list[int]]:
+    """Pseudo-random ±1 hyperplane coefficients, fixed at plan-build time.
+
+    plane p, dim d coefficient = +1 if md5-hash64('t{table}|p{p}|d{d}') is
+    even else −1 — the Python twin of functions/portable.py's hash64, so the
+    values are identical to what the round-1 in-SQL derivation produced, but
+    they are now *literals* in the plan: no per-row md5, no interpreted
+    expensive-lambda path (the builder measured that form ~350× slower).
+    """
+    import hashlib
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        [(h64(f"t{table_ix}|p{p}|d{d}") % 2) * 2 - 1 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def _sign_bucket_expr(vec_col: str, n_planes: int, table_ix: int, engine: str,
+                      dim: int = 64) -> str:
     """Bucket id = sign bits against n_planes pseudo-random ±1 hyperplanes.
 
-    plane p, dim d coefficient = +1 if hash64('t{table}|p{p}|d{d}') is even
-    else −1; bucket = Σ_p (dot_p > 0) << p. Pure SQL on both engines.
+    bucket = Σ_p (dot_p > 0) << p, where dot_p = ⟨vec, coef_p⟩ and coef_p is
+    a *literal* ±1 array (see :func:`_plane_coefficients`) — the remaining
+    lambda bodies are cheap multiply-adds, which stay on the acceptable side
+    of the interpreted-HOF cost line. Identical literals on both engines ⇒
+    identical buckets by construction.
     """
+    coefs = _plane_coefficients(n_planes, table_ix, dim)
+    bits = []
     if engine == "spark":
-        coef = X.h64(f"concat('t{table_ix}', '|p', cast(p as string), '|d', cast(d as string))", "spark")
-        dot = (f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-               f"(v, d) -> cast(v as double) * (({coef} % 2) * 2 - 1)), "
-               f"cast(0 as double), (acc, x) -> acc + x)")
-        return (f"aggregate(transform(sequence(0, {n_planes - 1}), p -> "
-                f"CASE WHEN ({dot}) > 0 THEN shiftleft(cast(1 as bigint), p) "
-                f"ELSE cast(0 as bigint) END), cast(0 as bigint), (a, x) -> a + x)")
-    coef = X.h64(f"concat('t{table_ix}', '|p', cast(p as varchar), '|d', cast(d as varchar))", "duck")
-    dot = (f"list_sum(list_transform(range(0, len({vec_col})), "
-           f"d -> {vec_col}[d + 1]::DOUBLE * (({coef} % 2) * 2 - 1)))")
-    return (f"list_sum(list_transform(range(0, {n_planes}), p -> "
-            f"CASE WHEN ({dot}) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))")
+        for p, cs in enumerate(coefs):
+            arr = "array(" + ",".join(str(c) for c in cs) + ")"
+            dot = (f"aggregate(zip_with({vec_col}, "
+                   f"slice({arr}, 1, size({vec_col})), "
+                   f"(v, c) -> cast(v as double) * c), "
+                   f"cast(0 as double), (acc, x) -> acc + x)")
+            bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+        return "cast(" + " + ".join(bits) + " as bigint)"
+    for p, cs in enumerate(coefs):
+        arr = "[" + ",".join(str(c) for c in cs) + "]"
+        dot = (f"list_sum(list_transform("
+               f"list_zip({vec_col}, list_slice({arr}, 1, len({vec_col}))), "
+               f"z -> z[1]::DOUBLE * z[2]))")
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, topk: int = 5,
              n_planes: int = 8, n_tables: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64) -> DataFrame:
     """Approximate top-k: candidates share a sign-LSH bucket in ≥1 table.
 
     Shuffle profile: corpus hashed once per table (map-side), joined on
     (table, bucket) — bounded buckets instead of a global crossJoin.
+    ``dim`` sizes the literal hyperplane arrays (extra dims beyond the actual
+    vector length are sliced off; vectors longer than dim are truncated).
     """
     def bucketed(df: DataFrame, prefix: str) -> DataFrame:
         parts = []
         for t in range(n_tables):
-            e = _sign_bucket_expr(vec_col, n_planes, t, "spark")
+            e = _sign_bucket_expr(vec_col, n_planes, t, "spark", dim=dim)
             parts.append(df.select(
                 F.col(id_col).alias(f"{prefix}_id"),
                 F.col(vec_col).alias(f"{prefix}v"),

@@ -45,7 +45,10 @@ def bpe_token_count_sql(text: str, engine: str) -> str:
     if engine == "spark":
         return (f"aggregate(transform({ws}, w -> cast(ceil(length(w) / 4.0) as bigint)), "
                 f"cast(0 as bigint), (a, x) -> a + x)")
-    return f"list_sum(list_transform({ws}, w -> ceil(len(w) / 4.0)::BIGINT))"
+    # CAST: DuckDB list_sum yields HUGEINT → pandas float64, which would
+    # hash-mismatch Spark's int64 in the driver gate. BIGINT keeps dtypes equal.
+    return (f"CAST(coalesce(list_sum(list_transform({ws}, "
+            f"w -> ceil(len(w) / 4.0)::BIGINT)), 0) AS BIGINT)")
 
 
 def quality_exprs(text: str, engine: str) -> dict[str, str]:

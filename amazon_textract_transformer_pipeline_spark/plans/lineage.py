@@ -126,13 +126,23 @@ class LineageStore:
         run_id = run_id or time.strftime("%Y%m%d-%H%M%S")
         todo = self.remaining(pages)
         result = stage_fn(todo)
+        # stage protocol: a DataFrame, or (DataFrame, cleanup) where cleanup
+        # releases any caches the stage created (run per write, else a
+        # long-running resume loop accumulates persisted RDDs).
+        cleanup = None
+        if isinstance(result, tuple):
+            result, cleanup = result
         assert "bucket" in result.columns, "stage_fn must propagate 'bucket'"
 
         t0 = time.time()
         out_dir = os.path.join(self.root, "results")
-        (result.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("bucket").parquet(out_dir))
+        try:
+            (result.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("bucket").parquet(out_dir))
+        finally:
+            if cleanup is not None:
+                cleanup()
         wall_ms = int((time.time() - t0) * 1000)
 
         stats = (

@@ -38,6 +38,12 @@ class ExtractionResult:
     fields: DataFrame
     doc_confidences: DataFrame
 
+    def unpersist(self) -> None:
+        """Release the persisted front-end output. Long-running callers
+        (streaming micro-batches, lineage bucket loops) must call this after
+        consuming the result or cached RDDs accumulate across batches."""
+        self.doc_words.unpersist()
+
 
 def extract_pipeline(
     pages: DataFrame,
@@ -79,12 +85,16 @@ def extract_pipeline(
 
 def extraction_stage_for_lineage(config: list[dict] | None = None):
     """stage_fn for LineageStore.run: pages(+bucket) → per-doc results with
-    the bucket column propagated (text + doc confidence, one row per url)."""
-    def stage(bucketed_pages: DataFrame) -> DataFrame:
+    the bucket column propagated (text + doc confidence, one row per url).
+
+    Returns the (DataFrame, cleanup) form of the stage protocol so the
+    store unpersists the pipeline's cached front-end after each write —
+    otherwise every resume/bucket run leaks one cached RDD."""
+    def stage(bucketed_pages: DataFrame):
         res = extract_pipeline(bucketed_pages.drop("bucket"), config=config,
                                model="sql-stub")
         keys = bucketed_pages.select("url", "bucket")
-        return (
+        out = (
             res.extracted_text
             .join(res.doc_confidences, "url", "left")
             .join(keys, "url")
@@ -92,4 +102,5 @@ def extraction_stage_for_lineage(config: list[dict] | None = None):
                     F.col("Confidence").alias("doc_confidence"),
                     "needs_human_review")
         )
+        return out, res.unpersist
     return stage

@@ -35,8 +35,18 @@ def start_extraction_stream(pages_stream: DataFrame, out_dir: str,
                             checkpoint_dir: str,
                             config: list[dict] | None = None,
                             trigger_available_now: bool = True) -> StreamingQuery:
-    """pages stream → per-doc extraction results, exactly-once via
-    checkpointed ``foreachBatch`` running the batch pipeline unchanged."""
+    """pages stream → per-doc extraction results via checkpointed
+    ``foreachBatch`` running the batch pipeline unchanged.
+
+    foreachBatch is only at-least-once: a crash between the sink write and
+    the checkpoint commit replays the micro-batch. The sink is therefore
+    made *idempotent* — each batch writes its own ``batch_id=<n>`` partition
+    with dynamic partition overwrite, so a replayed batch replaces its own
+    prior (possibly partial) output instead of appending duplicates.
+    Idempotent sink + checkpointed replay = effectively exactly-once output.
+    """
+    from pyspark.sql import functions as F
+
     from ..plans.pipeline import extract_pipeline
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -48,8 +58,14 @@ def start_extraction_stream(pages_stream: DataFrame, out_dir: str,
             .join(res.doc_confidences, "url", "left")
             .select("url", "n_pages", "extracted_text", "Confidence",
                     "needs_human_review")
+            .withColumn("batch_id", F.lit(batch_id))
         )
-        out.write.mode("append").parquet(out_dir)
+        try:
+            (out.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(out_dir))
+        finally:
+            res.unpersist()  # micro-batches must not accumulate cached RDDs
 
     writer = (
         pages_stream.writeStream.foreachBatch(process)

@@ -6,8 +6,9 @@ HTML front-end → enrichment → mentions → fields), plus per-operator query
 timings over the driver tables at $SPARK_GRAFT_SF_DIR.
 
 --scaling : additionally run the extraction job at two parallelism levels
-            (local[8] vs local[32]) on identical input and write the
-            N-vs-4N throughput/scaling-efficiency evidence to
+            (local[2] vs local[8] — see SCALING_CORES; 4N must stay ≤ half
+            the box because each task eats ~2 CPUs) on identical input and
+            write the N-vs-4N throughput/scaling-efficiency evidence to
             BENCH/BASELINE.md (north-rule two-cluster-size criterion,
             evidenced via parallelism levels in this single-node sandbox).
 """
@@ -180,6 +181,9 @@ equivalent knob is executors × cores with the same per-task CPU budget.
 
 - end-to-end extraction: {headline['extract_sec']} s for {headline['n_docs']}
   docs = **{headline['docs_per_sec']} docs/sec**
+  (best of 2 after warm-up; both runs: {headline.get('runs_sec')} s —
+  treat anything inside this band as measurement noise, and expect up to
+  ~2× slower under co-tenant CPU contention)
 - per-query timings (s): {json.dumps(headline['queries'])}
 
 Reference baseline: the reference architecture is bounded at O(1-10)
@@ -206,8 +210,13 @@ def main() -> None:
     # warm-up (JVM + Arrow)
     run_extraction(spark, max(n_docs // 20, 200))
 
-    t_extract, _ = run_extraction(spark, n_docs)
-    log(f"extraction e2e: {t_extract:.2f}s = {n_docs / t_extract:.1f} docs/sec")
+    # best-of-2 with the noise band reported: single local-mode runs vary
+    # ±40% (JIT/GC); a one-shot headline is not reproducible (round-1 lesson).
+    t_run1, _ = run_extraction(spark, n_docs)
+    t_run2, _ = run_extraction(spark, n_docs)
+    t_extract = min(t_run1, t_run2)
+    log(f"extraction e2e: runs=[{t_run1:.2f}s, {t_run2:.2f}s] "
+        f"best={t_extract:.2f}s = {n_docs / t_extract:.1f} docs/sec")
     queries = bench_queries(spark)
     spark.stop()
 
@@ -215,6 +224,7 @@ def main() -> None:
         "sf": sf_name, "cpus": eff_cores, "n_docs": n_docs,
         "extract_sec": round(t_extract, 2),
         "docs_per_sec": round(n_docs / t_extract, 1),
+        "runs_sec": [round(t_run1, 3), round(t_run2, 3)],
         "queries": queries,
     }
     result = {
@@ -226,6 +236,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf_name,
         "docs_per_sec": round(n_docs / t_extract, 1),
+        "runs_sec": [round(t_run1, 3), round(t_run2, 3)],
     }
     if scaling:
         scale = scaling_evidence(SCALING_N_DOCS.get(sf_name, 100000))

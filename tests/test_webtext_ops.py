@@ -60,6 +60,26 @@ def test_minhash_near_duplicates_planted(spark, docs):
     assert nd.filter("jaccard > 1.0 OR jaccard < 0.5").count() == 0
 
 
+def test_minhash_empty_text_parity(spark):
+    """Zero-word docs must get the same ['']-shingle signature as the oracle
+    HOF form (round-1 latent divergence: posexplode emitted no rows and the
+    doc vanished from the relational sketch)."""
+    from amazon_textract_transformer_pipeline_spark.functions import textsql as X
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, ""), (3, "   "), (4, "solo")],
+        ["doc_id", "text"])
+    rel = {r.doc_id: list(r.minhash)
+           for r in dedup.minhash_signatures(df, k=8).collect()}
+    hof = {r.doc_id: list(r.mh) for r in df.selectExpr(
+        "doc_id",
+        X.minhash_signature(
+            X.shingles(X.words("text", "spark"), 3, "spark"), 8, "spark")
+        + " AS mh").collect()}
+    assert rel == hof
+    assert set(rel) == {1, 2, 3, 4}  # empty/whitespace docs keep a row
+
+
 def test_lsh_is_not_all_pairs(spark, docs):
     """Candidate set must be far below the N^2 cross join."""
     n = docs.count()
