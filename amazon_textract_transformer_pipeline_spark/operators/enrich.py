@@ -63,12 +63,49 @@ def stub_predictions(words_df: DataFrame,
     ).withColumn("pcc", F.expr(stub_conf_sql()))
 
 
-def model_predictions(doc_words: DataFrame, model_path: str,
-                      batch_size: int = 8) -> DataFrame:
-    """Real-model path: tokenize + forward + token→word prob averaging.
+def transformers_loader(model_path: str):
+    """Executor-side load_fn for a HF token-classification checkpoint.
 
-    See operators/inference.py for the full window/token pipeline; this
-    convenience wrapper requires a transformers runtime.
+    Returns the ``(tokenizer, forward_fn, n_classes)`` triple consumed by
+    inference.transformer_window_predictions; the forward_fn is the thin
+    numpy↔torch bridge around ``model(input_ids, attention_mask, bbox)``
+    (reference ``notebooks/src/code/inference.py:451-462``). Imports happen
+    inside so the closure is picklable and the heavyweight load runs once
+    per Arrow worker, not on the driver.
+    """
+    def load():
+        import torch
+        from transformers import AutoModelForTokenClassification, AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(model_path)
+        model = AutoModelForTokenClassification.from_pretrained(model_path)
+        model.eval()
+
+        def forward_fn(input_ids, attention_mask, bbox):
+            kwargs = {
+                "input_ids": torch.as_tensor(input_ids),
+                "attention_mask": torch.as_tensor(attention_mask),
+            }
+            # LayoutLM-family models take token boxes; plain text models
+            # (e.g. bert) don't — feed bbox only when accepted.
+            if "bbox" in model.forward.__code__.co_varnames:
+                kwargs["bbox"] = torch.as_tensor(bbox)
+            with torch.no_grad():
+                return model(**kwargs).logits.numpy()
+
+        return tokenizer, forward_fn, model.config.num_labels
+
+    return load
+
+
+def model_predictions(doc_words: DataFrame, model_path: str,
+                      batch_size: int = 8,
+                      max_content_seq_len: int = 510) -> DataFrame:
+    """Real-model path (I2): HF tokenizer splits + collation + batched
+    forward + token→word→window prob averaging, joined back onto the word
+    relation. Requires a transformers+torch runtime on the executors; the
+    Spark plumbing is inference.transformer_window_predictions, which tests
+    exercise with a mocked module (tests/test_inference.py).
     """
     try:
         import transformers  # noqa: F401
@@ -78,4 +115,28 @@ def model_predictions(doc_words: DataFrame, model_path: str,
             "environment use stub_predictions / operators.inference with the "
             "built-in deterministic stub model."
         ) from e
-    raise NotImplementedError("wire transformers checkpoint here")
+    from transformers import AutoConfig, AutoTokenizer
+
+    from .assembly import pages_view
+    from .inference import (
+        aggregate_word_predictions,
+        transformer_window_predictions,
+    )
+    from .splitting import hf_tokenize_adapter, split_pages_to_windows
+
+    # driver-side tokenizer only computes per-word piece counts for the
+    # splitter; the executor-side load happens inside transformers_loader
+    tokenize = hf_tokenize_adapter(AutoTokenizer.from_pretrained(model_path))
+    windows = split_pages_to_windows(
+        pages_view(doc_words), max_content_seq_len=max_content_seq_len,
+        tokenize=tokenize)
+    preds = transformer_window_predictions(
+        windows, transformers_loader(model_path), tokenize=tokenize,
+        batch_size=batch_size)
+    from .assembly import words_view
+
+    n_classes = int(AutoConfig.from_pretrained(model_path).num_labels)
+    return words_view(doc_words).join(
+        aggregate_word_predictions(preds, n_classes=n_classes)
+        .select("url", "page_num", "word_pos", "pred_cls", "pcc", "probs"),
+        ["url", "page_num", "word_pos"], "left")

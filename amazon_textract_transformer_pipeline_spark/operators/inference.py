@@ -113,7 +113,8 @@ def predict_windows(windows: DataFrame, model: StubModel | None = None) -> DataF
                     out["word_pos"].append(int(sw) + i)
                     out["word_id"].append(w["id"])
                     out["probs"].append(probs[i].tolist())
-            yield pd.DataFrame(out)
+            if out["url"]:  # empty frames default to float64 → Arrow cast error
+                yield pd.DataFrame(out)
 
     return windows.mapInPandas(run, schema=WINDOW_PRED_SCHEMA)
 
@@ -155,6 +156,108 @@ def aggregate_word_predictions(window_preds: DataFrame,
             (F.array_position(F.col("probs"), F.col("pcc")) - 1).cast("int"),
         )
     )
+
+
+def transformer_window_predictions(windows: DataFrame, load_fn,
+                                   tokenize=None,
+                                   batch_size: int = INFERENCE_BATCH_SIZE,
+                                   pad_to_multiple_of: int = 8) -> DataFrame:
+    """Step 1 with a *real* token-classification model (I2).
+
+    Mirrors the reference endpoint's predict loop
+    (``notebooks/src/code/inference.py:435-492``): windows are collated via
+    :func:`..splitting.tokenize_windows` semantics (CLS/SEP framing,
+    ``word_ids`` token→word map, token-level 0-1000 boxes), batched
+    ``batch_size`` windows at a time (inference.py:68), right-padded to the
+    longest window in the batch rounded up to ``pad_to_multiple_of``
+    (inference.py:68-70, tensor-core alignment), forwarded once per batch,
+    softmaxed, and token probs are averaged per word within the window.
+    Cross-window averaging stays in :func:`aggregate_word_predictions`.
+
+    ``load_fn() -> (tokenizer, forward_fn, n_classes)`` runs once per Arrow
+    worker (the executor-local model load). ``tokenizer`` needs only
+    ``convert_tokens_to_ids`` + ``pad_token_id``; ``forward_fn(input_ids,
+    attention_mask, bbox) -> logits`` takes/returns numpy ``(B, L, ·)``
+    arrays — a thin torch ``no_grad`` wrapper in the real deployment (see
+    enrich.model_predictions), a plain function in tests.
+    """
+    from .splitting import CLS_BOX, SEP_BOX, stub_tokenize
+
+    tok_fn = tokenize or stub_tokenize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tokenizer, forward_fn, n_classes = load_fn()  # once per worker
+        pad_id = int(getattr(tokenizer, "pad_token_id", 0) or 0)
+
+        pending: list[dict] = []
+
+        def flush() -> Iterator[pd.DataFrame]:
+            if not pending:
+                return
+            max_len = max(len(w["ids"]) for w in pending)
+            L = -(-max_len // pad_to_multiple_of) * pad_to_multiple_of
+            ids = np.full((len(pending), L), pad_id, dtype=np.int64)
+            mask = np.zeros((len(pending), L), dtype=np.int64)
+            bbox = np.zeros((len(pending), L, 4), dtype=np.int64)
+            for i, w in enumerate(pending):
+                n = len(w["ids"])
+                ids[i, :n] = w["ids"]
+                mask[i, :n] = 1
+                bbox[i, :n] = w["boxes"]
+            logits = np.asarray(forward_fn(ids, mask, bbox), dtype=np.float64)
+            assert logits.shape[:2] == (len(pending), L), logits.shape
+            # softmax over classes (inference.py:451-462)
+            z = logits - logits.max(axis=-1, keepdims=True)
+            probs = np.exp(z)
+            probs /= probs.sum(axis=-1, keepdims=True)
+
+            out: dict[str, list] = {f.name: [] for f in WINDOW_PRED_SCHEMA}
+            for i, w in enumerate(pending):
+                wp = probs[i, : len(w["ids"])]
+                # token→word collect + mean within the window
+                for local_ix, (sw_pos, wid) in enumerate(
+                    zip(w["word_pos"], w["word_id"])
+                ):
+                    sel = wp[np.asarray(w["word_ids"]) == local_ix]
+                    out["url"].append(w["url"])
+                    out["page_num"].append(w["page_num"])
+                    out["window_ix"].append(w["window_ix"])
+                    out["word_pos"].append(sw_pos)
+                    out["word_id"].append(wid)
+                    out["probs"].append(sel.mean(axis=0).tolist())
+            pending.clear()
+            yield pd.DataFrame(out)
+
+        for b in batches:
+            for url, page, wix, sw, words in zip(
+                b["url"], b["page_num"], b["window_ix"], b["start_word"],
+                b["words"],
+            ):
+                toks, wids, boxes = ["[CLS]"], [-1], [list(CLS_BOX)]
+                for i, w in enumerate(words):
+                    box = w["box"]
+                    b1000 = [int(box["left"] * 1000), int(box["top"] * 1000),
+                             int((box["left"] + box["width"]) * 1000),
+                             int((box["top"] + box["height"]) * 1000)]
+                    for piece in tok_fn(w["text"]):
+                        toks.append(piece)
+                        wids.append(i)
+                        boxes.append(b1000)
+                toks.append("[SEP]")
+                wids.append(-1)
+                boxes.append(list(SEP_BOX))
+                pending.append({
+                    "url": url, "page_num": int(page), "window_ix": int(wix),
+                    "ids": tokenizer.convert_tokens_to_ids(toks),
+                    "word_ids": wids, "boxes": boxes,
+                    "word_pos": [int(sw) + i for i in range(len(words))],
+                    "word_id": [w["id"] for w in words],
+                })
+                if len(pending) >= batch_size:
+                    yield from flush()
+        yield from flush()
+
+    return windows.mapInPandas(run, schema=WINDOW_PRED_SCHEMA)
 
 
 def enrich_words_with_model(pages: DataFrame, windows: DataFrame,

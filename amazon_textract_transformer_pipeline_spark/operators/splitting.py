@@ -56,6 +56,55 @@ def n_examples(n_tokens: int, max_content_seq_len: int) -> int:
     return int(ceil(n_tokens / max_content_seq_len))
 
 
+def hf_tokenize_adapter(tokenizer, cache_size: int = 65536):
+    """Adapt a HuggingFace-style tokenizer to the per-word ``tokenize``
+    interface the splitter/collator consume (Q1, reference
+    ``splitting.py:286-297``: tokenizer called with pre-split words, the
+    ``word_ids()`` map ties pieces back to words).
+
+    Accepts any object with the HF fast-tokenizer surface:
+    ``tokenizer(words, is_split_into_words=True, add_special_tokens=False)``
+    returning an encoding with ``tokens()`` and ``word_ids()``. Pieces whose
+    word_id is None (specials) are dropped; every real word is guaranteed
+    ≥1 piece (UNK fallback), matching stub_tokenize's contract.
+
+    Per-word results are memoized — web text repeats words heavily. The
+    adapter is a picklable object (lru_cache closures are not
+    cloudpickle-able), so the cache ships empty to each executor and fills
+    per-worker; ``cache_size`` bounds worker memory.
+    """
+    return _HFWordTokenize(tokenizer, cache_size)
+
+
+class _HFWordTokenize:
+    def __init__(self, tokenizer, cache_size: int):
+        self.tokenizer = tokenizer
+        self.cache_size = cache_size
+        self._cache: dict[str, list[str]] = {}
+
+    def __call__(self, word: str) -> list[str]:
+        hit = self._cache.get(word)
+        if hit is None:
+            enc = self.tokenizer([word], is_split_into_words=True,
+                                 add_special_tokens=False)
+            hit = [t for t, w in zip(enc.tokens(), enc.word_ids())
+                   if w is not None]
+            if not hit:
+                hit = [getattr(self.tokenizer, "unk_token", "[UNK]")]
+            if len(self._cache) >= self.cache_size:
+                self._cache.clear()
+            self._cache[word] = hit
+        return list(hit)
+
+    def __getstate__(self):  # ship the tokenizer, not the warmed cache
+        return {"tokenizer": self.tokenizer, "cache_size": self.cache_size}
+
+    def __setstate__(self, state):
+        self.tokenizer = state["tokenizer"]
+        self.cache_size = state["cache_size"]
+        self._cache = {}
+
+
 def split_words(token_counts: list[int], max_len: int) -> list[tuple[int, int]]:
     """Word-boundary splits per the NaiveExampleSplitter contract.
 
@@ -135,7 +184,10 @@ def split_pages_to_windows(
                     out["n_tokens"].append(sum(counts[s:e]))
                     out["words"].append(list(words[s:e]))
                     out["token_counts"].append(counts[s:e])
-            yield pd.DataFrame(out)
+            # an all-empty frame defaults its columns to float64, which Arrow
+            # can't cast to list<struct> — yield nothing instead
+            if out["url"]:
+                yield pd.DataFrame(out)
 
     return pages.mapInPandas(run, schema=WINDOW_SCHEMA)
 
@@ -194,7 +246,8 @@ def tokenize_windows(windows: DataFrame, tokenize=stub_tokenize) -> DataFrame:
                 out["tokens"].append(toks)
                 out["word_ids"].append(wids)
                 out["boxes1000"].append(boxes)
-            yield pd.DataFrame(out)
+            if out["url"]:  # see split_pages_to_windows: empty-frame dtype trap
+                yield pd.DataFrame(out)
 
     return windows.select("url", "page_num", "window_ix", "words") \
         .mapInPandas(run, schema=TOKENIZED_SCHEMA)
