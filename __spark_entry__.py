@@ -6,8 +6,9 @@ driver's parquet tables; ``oracle_sql`` gives the DuckDB recomputation of
 each SQL-expressible query (built in
 amazon_textract_transformer_pipeline_spark/oracle.py from the same layout
 constants and portable-hash stubs as the Spark side). Queries without an
-oracle entry (splitter windows, G4 box merge, multimodal metadata) are
-non-SQL-expressible ops → rows-only checks.
+oracle entry (splitter windows, multimodal metadata) are non-SQL-expressible
+ops → rows-only checks. G4 box merge (connected components) gets an
+exact-value oracle via a recursive CTE.
 """
 
 from __future__ import annotations
@@ -62,6 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "noisy_or_events": Q.q_noisy_or_events,
         "s4_pagination_merge": Q.q_s4_pagination_merge,
         "train_test_split": Q.q_train_test_split,
+        # SMGT extended custom-task form → seq2seq examples
+        "smgt_seq2seq": Q.q_smgt_seq2seq,
         # rows-only (non-SQL-expressible)
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
@@ -233,6 +236,79 @@ SELECT doc_id,
        {bpe_token_count_sql('text', 'duck')} AS n_tokens_est,
        {langid_sql('text', 'duck')} AS lang_guess
 FROM documents"""
+
+    # smgt_seq2seq oracle: same synthetic annotation construction + the
+    # extended-task parse rules (targetText default, wrong-without-target
+    # drop, unknown-status drop, null-label drop) in plain SQL.
+    sqls["smgt_seq2seq"] = f"""
+WITH d AS (SELECT doc_id, {dw} AS ws FROM documents),
+e AS (
+  SELECT doc_id, ws, unnest(range(0, len(ws) // 8)) AS i
+  FROM d WHERE len(ws) >= 8
+),
+f AS (
+  SELECT doc_id, cast(i AS int) AS entity_ix,
+    CASE WHEN i % 5 = 4 THEN 'bogus'
+         ELSE (['correct','unclear','wrong'])[(i % 3)::INT + 1] END AS status,
+    ws[(i * 8)::INT + 1] AS raw_text,
+    CASE WHEN i % 2 = 0 THEN upper(ws[(i * 8)::INT + 1]) END AS tgt0,
+    CASE WHEN i % 7 = 6 THEN NULL
+         ELSE 'field' || (i % 4)::VARCHAR END AS label
+  FROM e
+),
+g AS (
+  SELECT doc_id, entity_ix, label, raw_text,
+         coalesce(tgt0, CASE WHEN status <> 'wrong' THEN raw_text END)
+           AS target_text
+  FROM f
+  WHERE status IN ('correct', 'unclear', 'wrong')
+    AND NOT (tgt0 IS NULL AND status = 'wrong')
+)
+SELECT doc_id, entity_ix, label AS class_name,
+       'Normalize ' || label || ': ' || raw_text AS src_texts,
+       target_text AS tgt_texts
+FROM g
+WHERE label IS NOT NULL AND raw_text IS NOT NULL
+  AND target_text IS NOT NULL"""
+
+    # g4_box_merge oracle: connected components of the same-class overlap
+    # graph as a recursive label-propagation CTE (bounded per-page box sets
+    # keep the closure tiny). Input construction mirrors driver_queries
+    # _g1_inputs + the +120 widening in q_g4_box_merge.
+    sqls["g4_box_merge"] = f"""
+WITH RECURSIVE d AS (SELECT doc_id, len({dw}) AS nw FROM documents),
+a2 AS (
+  SELECT 'doc://' || doc_id AS url,
+         cast(unnest(range(0, nw // 5)) AS int) AS ann_ix
+  FROM d WHERE nw >= 5
+),
+anns AS (
+  SELECT url, ann_ix, cast(ann_ix % 3 AS int) AS class_id,
+         ann_ix * 50.0 AS x0, 0.0 AS y0,
+         ann_ix * 50.0 + 154 AS x1, 9.0 AS y1
+  FROM a2
+),
+edges AS (
+  SELECT a.url, a.class_id, a.ann_ix AS src, b.ann_ix AS dst
+  FROM anns a JOIN anns b ON a.url = b.url AND a.class_id = b.class_id
+  WHERE a.x1 >= b.x0 AND b.x1 >= a.x0 AND a.y1 >= b.y0 AND b.y1 >= a.y0
+),
+reach(url, class_id, root, node) AS (
+  SELECT url, class_id, ann_ix, ann_ix FROM anns
+  UNION
+  SELECT r.url, r.class_id, r.root, e.dst
+  FROM reach r JOIN edges e
+    ON e.url = r.url AND e.class_id = r.class_id AND e.src = r.node
+),
+comp AS (
+  SELECT url, class_id, node, min(root) AS group_id
+  FROM reach GROUP BY url, class_id, node
+)
+SELECT c.url, c.class_id, c.group_id,
+       cast(count(*) AS int) AS n_members, min(a.x0) AS x0, max(a.x1) AS x1
+FROM comp c JOIN anns a
+  ON a.url = c.url AND a.class_id = c.class_id AND a.ann_ix = c.node
+GROUP BY c.url, c.class_id, c.group_id"""
 
     # ann_lsh_topk oracle: same sign-LSH construction in DuckDB
     from amazon_textract_transformer_pipeline_spark.operators.similarity import (

@@ -25,6 +25,7 @@ from .operators.entities import extract_mentions
 from .operators.frontend import html_to_words
 from .operators.labels import merge_annotation_boxes, word_single_labels
 from .operators.multimodal import decode_metadata, synth_media_df
+from .operators.smgt import smgt_to_seq2seq_examples
 from .operators.splitting import split_pages_to_windows
 from .operators.textstats import with_text_stats
 from .sources.bridge import pages_from_documents
@@ -299,6 +300,36 @@ def q_train_test_split(spark, sf_dir) -> DataFrame:
     return d.select(
         "doc_id",
         F.expr(f"CASE WHEN {h} % 10 < 9 THEN 'train' ELSE 'test' END").alias("split"))
+
+
+def q_smgt_seq2seq(spark, sf_dir) -> DataFrame:
+    """SMGT extended-task entities → seq2seq examples, over deterministic
+    synthetic annotations derived from the documents table. Exercises every
+    parse rule: targetText default, wrong-without-target error drop,
+    unknown-status drop, null-label drop (smgt.py:200-234,
+    task_builder.py:150-199)."""
+    ws = X.words("text", "spark")
+    ents = f"""transform(sequence(0, cast(size({ws}) / 8 as int) - 1),
+      i -> named_struct(
+        'detectionId', concat('det-', cast(i as string)),
+        'ocrStatus', CASE WHEN i % 5 = 4 THEN 'bogus'
+                          ELSE element_at(array('correct','unclear','wrong'),
+                                          cast(i % 3 as int) + 1) END,
+        'boxIxs', array(cast(i as int)),
+        'classId', cast(i % 4 as int),
+        'rawText', element_at({ws}, cast(i * 8 as int) + 1),
+        'targetText', CASE WHEN i % 2 = 0
+                           THEN upper(element_at({ws}, cast(i * 8 as int) + 1))
+                           END,
+        'label', CASE WHEN i % 7 = 6 THEN NULL
+                      ELSE concat('field', cast(i % 4 as string)) END))"""
+    ann = (
+        _docs(spark, sf_dir)
+        .filter(F.expr(f"size({ws}) >= 8"))
+        .select("doc_id", F.expr(ents).alias("entities"))
+    )
+    return smgt_to_seq2seq_examples(ann, keys=["doc_id"]).select(
+        "doc_id", "entity_ix", "class_name", "src_texts", "tgt_texts")
 
 
 # ---------------------------------------------------------------------------

@@ -150,10 +150,178 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.select("media_id", "blob").mapInPandas(run, schema=schema)
 
 
+# ---------------------------------------------------------------------------
+# D4/D5: EXIF rotation + resize/letterbox arithmetic (pure numpy — the PIL
+# dependency is *only* byte decode; all geometry below is codec-free and
+# tested on fake-codec arrays).
+# ---------------------------------------------------------------------------
+
+def exif_rotation_angle(orientation: int | None) -> int:
+    """EXIF orientation tag → anticlockwise rotation degrees
+    (``image_utils.py:59-80``: 3→180, 6→270, 8→90, anything else → 0;
+    mirrored orientations 2/4/5/7 are deliberately untouched, as in the
+    reference)."""
+    return {3: 180, 6: 270, 8: 90}.get(orientation or 0, 0)
+
+
+def apply_exif_rotation_array(arr: np.ndarray,
+                              orientation: int | None) -> tuple[np.ndarray, int]:
+    """Rotate (h, w[, c]) pixels per the EXIF tag; returns (pixels, angle).
+    ``np.rot90(k)`` is anticlockwise like PIL's ``rotate(expand=True)``."""
+    angle = exif_rotation_angle(orientation)
+    if angle:
+        arr = np.rot90(arr, k=angle // 90)
+    return arr, angle
+
+
+def resize_plan(iw: int, ih: int, size, default_square: bool = True,
+                max_size: int | None = None) -> tuple[int, int]:
+    """Target (width, height) per the reference's size normalization
+    (``image_utils.py:125-155``): a (w, h) pair passes through; a single
+    number is a square when ``default_square`` else the *shortest-edge*
+    target with aspect preserved and the ``max_size`` long-edge overrule
+    (all divisions truncate via int(), exactly as the reference)."""
+    if hasattr(size, "__len__"):
+        if len(size) != 1:
+            return int(size[0]), int(size[1])
+        size = size[0]
+    if default_square:
+        return int(size), int(size)
+    short = int(size)
+    ishort, ilong = (iw, ih) if iw <= ih else (ih, iw)
+    if short == ishort:
+        return iw, ih  # reference returns the original image untouched
+    long = int(short * ilong / ishort)
+    if max_size is not None:
+        if max_size <= short:
+            raise ValueError(
+                f"max_size = {max_size} must be strictly greater than the "
+                f"requested size for the smaller edge = {short}")
+        if long > max_size:
+            short, long = int(max_size * short / long), max_size
+    return (short, long) if iw <= ih else (long, short)
+
+
+def letterbox_plan(iw: int, ih: int, w: int, h: int) -> tuple[int, int, int, int]:
+    """(new_w, new_h, offset_x, offset_y) for letterboxing iw×ih into w×h
+    (``image_utils.py:157-165``: scale = min(w/iw, h/ih), truncating resize,
+    centered paste with floor-div offsets)."""
+    scale = min(w / iw, h / ih)
+    nw, nh = int(iw * scale), int(ih * scale)
+    return nw, nh, (w - nw) // 2, (h - nh) // 2
+
+
+def stretch_resize_array(arr: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor stretch of (ih, iw[, c]) pixels to (h, w[, c]).
+    (The reference resamples BICUBIC via PIL — a codec detail; the *plan*
+    arithmetic above is what must match. Nearest keeps this path
+    dependency-free and deterministic.)"""
+    ih, iw = arr.shape[:2]
+    ys = (np.arange(h) * ih) // h
+    xs = (np.arange(w) * iw) // w
+    return arr[ys][:, xs]
+
+
+def letterbox_array(arr: np.ndarray, w: int, h: int,
+                    color: tuple[int, int, int] = (0, 0, 0)) -> np.ndarray:
+    """Letterbox (ih, iw, 3) pixels into a w×h canvas of ``color``."""
+    ih, iw = arr.shape[:2]
+    nw, nh, ox, oy = letterbox_plan(iw, ih, w, h)
+    out = np.empty((h, w, 3), dtype=arr.dtype)
+    out[:, :] = np.asarray(color, dtype=arr.dtype)
+    out[oy:oy + nh, ox:ox + nw] = stretch_resize_array(arr, nw, nh)
+    return out
+
+
+def fake_decode_array(blob: bytes) -> tuple[np.ndarray, int | None]:
+    """FAKE1 blob → ((h, w, 3) uint8 pixels, exif_orientation). Deterministic
+    from the payload bytes; the low header byte of the payload doubles as a
+    fake EXIF orientation in 0..8 so the rotation path is exercised."""
+    magic, w, h, _fmt = struct.unpack_from(_FMT, blob)
+    if magic != _MAGIC:
+        raise ValueError("not a FAKE1 blob")
+    payload = np.frombuffer(blob, dtype=np.uint8, offset=_HDR_SIZE)
+    if not len(payload):
+        raise ValueError("empty FAKE1 payload")
+    reps = -(-(w * h * 3) // len(payload))
+    pixels = np.tile(payload, reps)[: w * h * 3].reshape(h, w, 3)
+    return pixels, int(payload[0] % 9)
+
+
+THUMBNAIL_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("rotation_applied", T.IntegerType(), False),
+    T.StructField("pixels", T.BinaryType(), False),  # raw h*w*3 uint8
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def thumbnail_images(media: DataFrame, size=(224, 224),
+                     letterbox_color: tuple[int, int, int] | None = (128, 128, 128),
+                     default_square: bool = True,
+                     max_size: int | None = None,
+                     decode_fn=fake_decode_array) -> DataFrame:
+    """D2+D4+D5 pipeline: decode → EXIF-rotate → resize (stretch or
+    letterbox) → fixed-size pixel payloads (the thumbnailer contract,
+    ``preproc.py:70-173``). ``decode_fn(blob) -> (pixels, orientation)`` is
+    the codec seam — fake codec by default, PIL via :func:`pil_decode_fn`.
+    Per-record errors land in the ``error`` column, not exceptions."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, blob in zip(b["media_id"], b["blob"]):
+                try:
+                    arr, orient = decode_fn(bytes(blob))
+                    arr, angle = apply_exif_rotation_array(arr, orient)
+                    ih, iw = arr.shape[:2]
+                    w, h = resize_plan(iw, ih, size, default_square, max_size)
+                    if letterbox_color is not None:
+                        out = letterbox_array(arr, w, h, letterbox_color)
+                    else:
+                        out = stretch_resize_array(arr, w, h)
+                    rows.append({"media_id": int(mid),
+                                 "width": int(out.shape[1]),
+                                 "height": int(out.shape[0]),
+                                 "rotation_applied": angle,
+                                 "pixels": out.astype(np.uint8).tobytes(),
+                                 "error": None})
+                except Exception as e:
+                    rows.append({"media_id": int(mid), "width": 0, "height": 0,
+                                 "rotation_applied": 0, "pixels": b"",
+                                 "error": str(e)})
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in THUMBNAIL_SCHEMA])
+
+    return media.select("media_id", "blob").mapInPandas(
+        run, schema=THUMBNAIL_SCHEMA)
+
+
+def pil_decode_fn(blob: bytes):
+    """Real-codec decode seam for :func:`thumbnail_images` — import-gated
+    (no codecs in this sandbox); everything downstream of the decode is the
+    tested numpy path above."""
+    try:
+        import PIL.Image
+    except ImportError as e:  # pragma: no cover — no codecs in this sandbox
+        raise NotImplementedError(
+            "pil_decode_fn needs Pillow; this environment ships no image "
+            "codecs. Use the fake codec (decode_fn default) or install "
+            "Pillow on the cluster."
+        ) from e
+    import io
+
+    img = PIL.Image.open(io.BytesIO(blob))
+    exif = dict((img.getexif() or {}).items())
+    orientation = exif.get(274)  # EXIF Orientation tag id
+    return np.asarray(img.convert("RGB")), orientation
+
+
 def decode_image(media: DataFrame, size: tuple[int, int] = (224, 224)) -> DataFrame:
     """Real image decode + letterbox-resize to ``size`` (the reference's
-    thumbnailer, image_utils.py:83-168 / preproc.py:38-42). Requires a
-    codec library; cleanly gated."""
+    thumbnailer, image_utils.py:83-168 / preproc.py:38-42). The PIL seam is
+    the only gated piece; rotation/resize run the tested numpy kernels."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:  # pragma: no cover — no codecs in this sandbox
@@ -162,7 +330,42 @@ def decode_image(media: DataFrame, size: tuple[int, int] = (224, 224)) -> DataFr
             "codecs. Use decode_metadata/extract_features (codec-free) or "
             "install Pillow on the cluster."
         ) from e
-    raise NotImplementedError("wire PIL decode here")  # pragma: no cover
+    return thumbnail_images(media, size=size, decode_fn=pil_decode_fn)
+
+
+NPZ_BUNDLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_frames", T.IntegerType(), False),
+    T.StructField("npz", T.BinaryType(), False),
+])
+
+
+def thumbnail_npz_bundles(thumbs: DataFrame) -> DataFrame:
+    """S8 analog: per-media numpy archive of page/frame thumbnails
+    (reference ``preproc.py:120-173`` writes pages → PNG bytestrings → npz).
+    Input = :func:`thumbnail_images` output (or any (media_id, width,
+    height, pixels) relation); one npz BINARY per media_id with arrays
+    ``frame_0000..`` in row order. Grouped Arrow stage — one shuffle on
+    media_id, bounded frames per media."""
+    import io
+
+    def bundle(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["media_id"]).reset_index(drop=True)
+        arrays = {}
+        for i, r in pdf.iterrows():
+            px = np.frombuffer(r["pixels"], dtype=np.uint8)
+            arrays[f"frame_{i:04d}"] = px.reshape(r["height"], r["width"], 3) \
+                if px.size else np.zeros((0, 0, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        return pd.DataFrame([{
+            "media_id": int(pdf["media_id"].iloc[0]),
+            "n_frames": len(arrays),
+            "npz": buf.getvalue(),
+        }])
+
+    return thumbs.filter(F.col("error").isNull()).groupBy("media_id") \
+        .applyInPandas(bundle, schema=NPZ_BUNDLE_SCHEMA)
 
 
 def explode_frames(frames_df: DataFrame) -> DataFrame:
