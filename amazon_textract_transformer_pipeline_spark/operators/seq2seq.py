@@ -76,6 +76,56 @@ def rule_based_date_normalizer(prompted_inputs: list[str],
     return out
 
 
+def hf_generate_fn(model_path: str, batch_size: int = 8,
+                   strip: bool = True) -> Callable[[list[str]], list[str | None]]:
+    """Real seq2seq generate behind the endpoint contract
+    (``notebooks/src/code/inference_seq2seq.py:60-130``): a
+    text2text-generation pipeline loaded once, inputs batched
+    ``batch_size`` at a time (INFERENCE_BATCH_SIZE, inference_seq2seq), and
+    ``generated_text`` whitespace-stripped exactly like predict_fn. Drop the
+    result into :func:`make_normalizer`; requires transformers+torch on the
+    executors (import-gated — this sandbox ships neither).
+
+    The returned closure defers the heavy load to first call so it pickles
+    cheaply to executors and loads once per Arrow worker.
+    """
+    try:
+        import transformers  # noqa: F401
+    except ImportError as e:  # pragma: no cover - sandbox has no transformers
+        raise NotImplementedError(
+            "hf_generate_fn needs the `transformers` runtime; use "
+            "rule_based_date_normalizer (same contract) in this environment."
+        ) from e
+
+    state: dict = {}
+
+    def generate(prompted_inputs: list[str]) -> list[str | None]:
+        if "pl" not in state:
+            import torch
+            from transformers import (
+                AutoModelForSeq2SeqLM,
+                AutoTokenizer,
+                pipeline,
+            )
+
+            tok = AutoTokenizer.from_pretrained(model_path,
+                                                pad_to_multiple_of=8)
+            mdl = AutoModelForSeq2SeqLM.from_pretrained(model_path)
+            mdl.eval()
+            device = torch.device(
+                "cuda" if torch.cuda.is_available() else "cpu")
+            mdl.to(device)
+            state["pl"] = pipeline("text2text-generation", model=mdl,
+                                   tokenizer=tok, batch_size=batch_size,
+                                   device=mdl.device)
+        result = state["pl"](list(prompted_inputs),
+                             clean_up_tokenization_spaces=True)
+        outs = [r["generated_text"] for r in result]
+        return [t.strip() if strip and t is not None else t for t in outs]
+
+    return generate
+
+
 def make_normalizer(fn: Callable[[list[str]], list[str | None]] | None = None):
     """Build the ``normalizer`` callable expected by
     entities.normalize_mentions: DataFrame[endpoint, input] →

@@ -207,3 +207,17 @@ def test_binary_and_manifest_sources(spark, tmp_path):
                   '{"source-ref": "s3://x/b.png", "page-num": 2}\n')
     m = read_manifest_jsonl(spark, str(mf))
     assert m.count() == 2 and "source-ref" in m.columns
+
+
+def test_hf_generate_fn_gated():
+    """The real seq2seq path (I6) is import-gated: without a transformers
+    runtime it must raise NotImplementedError at build time, not at task
+    time on the executors."""
+    import pytest
+
+    from amazon_textract_transformer_pipeline_spark.operators.seq2seq import (
+        hf_generate_fn,
+    )
+
+    with pytest.raises(NotImplementedError, match="transformers"):
+        hf_generate_fn("some/checkpoint")
