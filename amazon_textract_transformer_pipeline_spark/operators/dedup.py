@@ -226,15 +226,28 @@ def simhash_sketch(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
                             id_col: str = "doc_id") -> DataFrame:
-    """SimHash near-dups via the block-permutation trick: with 4 blocks of
-    8 bits, any pair within Hamming ≤ 3 shares at least one exact block —
-    join on (block_ix, block_value), then verify Hamming. Linear + bucketed,
-    never all-pairs."""
+    """SimHash near-dups via the block-permutation trick: split the 32-bit
+    sketch into ``max_hamming + 1`` blocks — by pigeonhole, any pair within
+    the Hamming budget shares at least one exact block — join on
+    (block_ix, block_value), then verify Hamming. Linear + bucketed, never
+    all-pairs.
+
+    Block count tracks the budget so the bucket space is as large as the
+    guarantee allows: ≤3 → 4×8-bit blocks (2^8 values each), ≤2 → 3×11-bit
+    (2^11), ≤1 → 2×16-bit (2^16). Fixed bucket spaces are the scale hazard
+    here — with B buckets the join degenerates toward N²/B; at 10^12-doc
+    scale move to a 64-bit sketch (same construction, wider blocks) so the
+    bucket space grows with the corpus.
+    """
+    n_blocks = max_hamming + 1
+    bsize = -(-32 // n_blocks)
+    mask = (1 << bsize) - 1
     sk = simhash_sketch(docs).select(F.col(id_col).alias("doc_id"), "simhash")
     blocks = sk.select(
         "doc_id", "simhash",
         F.posexplode(
-            F.expr("transform(sequence(0, 3), b -> (simhash >> (b * 8)) & 255)")
+            F.expr(f"transform(sequence(0, {n_blocks - 1}), "
+                   f"b -> (simhash >> (b * {bsize})) & {mask})")
         ).alias("block_ix", "block_val"),
     )
     left = blocks.select("block_ix", "block_val",

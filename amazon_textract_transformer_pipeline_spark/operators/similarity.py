@@ -78,9 +78,11 @@ def _sign_bucket_expr(vec_col: str, n_planes: int, table_ix: int, engine: str,
     if engine == "spark":
         for p, cs in enumerate(coefs):
             arr = "array(" + ",".join(str(c) for c in cs) + ")"
-            dot = (f"aggregate(zip_with({vec_col}, "
-                   f"slice({arr}, 1, size({vec_col})), "
-                   f"(v, c) -> cast(v as double) * c), "
+            # zip_with pads the shorter side with NULL; coalesce(·, 0) makes
+            # length mismatch a truncation instead of a NULL dot — and avoids
+            # a per-row slice() allocation of the literal array
+            dot = (f"aggregate(zip_with({vec_col}, {arr}, "
+                   f"(v, c) -> coalesce(cast(v as double) * c, 0.0d)), "
                    f"cast(0 as double), (acc, x) -> acc + x)")
             bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
         return "cast(" + " + ".join(bits) + " as bigint)"

@@ -57,8 +57,9 @@ def extract_pipeline(
     if salt_partitions:
         pages = salted_repartition_by_url(pages, salt_partitions)
 
-    # the front-end UDF output feeds text assembly, the word view, AND the
-    # url universe — persist it (the single most expensive recompute)
+    # the front-end UDF output feeds text assembly and the word view —
+    # persist it (the single most expensive recompute). The url universe
+    # comes straight from the input scan (column-pruned), NOT from here.
     doc_words = html_to_words(pages).persist()
     text = assemble_text(doc_words)
 
@@ -72,7 +73,7 @@ def extract_pipeline(
         raise ValueError(f"unknown model mode {model!r}")
 
     mentions = extract_mentions(enriched, cfg)
-    fields = consolidate_fields(mentions, cfg, doc_words.select("url"))
+    fields = consolidate_fields(mentions, cfg, pages.select("url"))
     return ExtractionResult(
         doc_words=doc_words,
         extracted_text=text,

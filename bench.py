@@ -181,9 +181,9 @@ equivalent knob is executors × cores with the same per-task CPU budget.
 
 - end-to-end extraction: {headline['extract_sec']} s for {headline['n_docs']}
   docs = **{headline['docs_per_sec']} docs/sec**
-  (best of 2 after warm-up; both runs: {headline.get('runs_sec')} s —
-  treat anything inside this band as measurement noise, and expect up to
-  ~2× slower under co-tenant CPU contention)
+  (best of 3 after warm-up; all runs: {headline.get('runs_sec')} s —
+  treat anything inside this band as measurement noise; identical local
+  runs measured up to ~2x apart, and co-tenant CPU contention adds more)
 - per-query timings (s): {json.dumps(headline['queries'])}
 
 Reference baseline: the reference architecture is bounded at O(1-10)
@@ -210,12 +210,12 @@ def main() -> None:
     # warm-up (JVM + Arrow)
     run_extraction(spark, max(n_docs // 20, 200))
 
-    # best-of-2 with the noise band reported: single local-mode runs vary
-    # ±40% (JIT/GC); a one-shot headline is not reproducible (round-1 lesson).
-    t_run1, _ = run_extraction(spark, n_docs)
-    t_run2, _ = run_extraction(spark, n_docs)
-    t_extract = min(t_run1, t_run2)
-    log(f"extraction e2e: runs=[{t_run1:.2f}s, {t_run2:.2f}s] "
+    # best-of-3 with the full noise band reported: single local-mode runs
+    # vary ~2x (measured 8-20s for the same job; JIT/GC/worker churn) — a
+    # one-shot headline is not reproducible (round-1 lesson).
+    t_runs = [run_extraction(spark, n_docs)[0] for _ in range(3)]
+    t_extract = min(t_runs)
+    log(f"extraction e2e: runs={[round(t, 2) for t in t_runs]} "
         f"best={t_extract:.2f}s = {n_docs / t_extract:.1f} docs/sec")
     queries = bench_queries(spark)
     spark.stop()
@@ -224,7 +224,7 @@ def main() -> None:
         "sf": sf_name, "cpus": eff_cores, "n_docs": n_docs,
         "extract_sec": round(t_extract, 2),
         "docs_per_sec": round(n_docs / t_extract, 1),
-        "runs_sec": [round(t_run1, 3), round(t_run2, 3)],
+        "runs_sec": [round(t, 3) for t in t_runs],
         "queries": queries,
     }
     result = {
@@ -236,7 +236,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf_name,
         "docs_per_sec": round(n_docs / t_extract, 1),
-        "runs_sec": [round(t_run1, 3), round(t_run2, 3)],
+        "runs_sec": [round(t, 3) for t in t_runs],
     }
     if scaling:
         scale = scaling_evidence(SCALING_N_DOCS.get(sf_name, 100000))
