@@ -125,10 +125,18 @@ SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM small l JOIN small r
   ON l.band_ix = r.band_ix AND l.band_hash = r.band_hash
   AND l.doc_id < r.doc_id""",
+        # MATERIALIZED: DuckDB inlines CTEs textually; without it the
+        # shingle expression recomputes 4x inside intersect/union (measured
+        # ~20 s at sf0.01; ~4x faster materialized)
         "ngram_jaccard_consecutive": f"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, {X.shingles(X.words('text', 'duck'), 3, 'duck')} AS sh
+  FROM documents
+)
 SELECT d1.doc_id AS a, d2.doc_id AS b,
-  round({X.jaccard(X.words('d1.text', 'duck'), X.words('d2.text', 'duck'), 3, 'duck')}, 6) AS jaccard
-FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1""",
+  round(len(list_intersect(d1.sh, d2.sh))::DOUBLE /
+        len(list_distinct(list_concat(d1.sh, d2.sh))), 6) AS jaccard
+FROM w d1 JOIN w d2 ON d2.doc_id = d1.doc_id + 1""",
         "simhash": f"""
 SELECT doc_id, {X.simhash32(dw, 'duck')} AS simhash FROM documents""",
         "simhash_hamming_consecutive": f"""

@@ -141,6 +141,21 @@ def lsh_band_buckets(docs: DataFrame, k: int = DEFAULT_K,
         "doc_id", F.col("band_ix").cast("int").alias("band_ix"), "band_hash")
 
 
+def lsh_bucket_stats(docs: DataFrame, k: int = DEFAULT_K,
+                     n_bands: int = DEFAULT_BANDS, n: int = 3,
+                     max_bucket: int = 1000) -> DataFrame:
+    """Monitoring relation for the boilerplate guard: one row per band
+    bucket with its size and whether the candidate join will drop it.
+    At 100 TB this is the metric table an operator watches — dropped-bucket
+    doc counts quantify what the `max_bucket` cap excluded."""
+    return (
+        lsh_band_buckets(docs, k, n_bands, n)
+        .groupBy("band_ix", "band_hash")
+        .agg(F.count("*").alias("sz"))
+        .withColumn("dropped", F.col("sz") > max_bucket)
+    )
+
+
 def lsh_candidate_pairs(docs: DataFrame, k: int = DEFAULT_K,
                         n_bands: int = DEFAULT_BANDS, n: int = 3,
                         max_bucket: int = 1000) -> DataFrame:

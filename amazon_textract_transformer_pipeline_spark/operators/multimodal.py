@@ -333,6 +333,38 @@ def decode_image(media: DataFrame, size: tuple[int, int] = (224, 224)) -> DataFr
     return thumbnail_images(media, size=size, decode_fn=pil_decode_fn)
 
 
+def blank_thumbnail(size: tuple[int, int] = (224, 224),
+                    gray: int = 128) -> bytes:
+    """I5 fallback payload: the reference substitutes a plain grey 224×224
+    thumbnail (with a warning) when the model needs page images but none
+    were provided (``inference.py:424-433``)."""
+    w, h = size
+    return np.full((h, w, 3), gray, dtype=np.uint8).tobytes()
+
+
+def fill_missing_thumbnails(thumbs: DataFrame,
+                            size: tuple[int, int] = (224, 224),
+                            gray: int = 128) -> DataFrame:
+    """Replace failed/missing thumbnail rows with the grey fallback, keeping
+    the failure reason as a warning column (warn-don't-fail): downstream
+    model stages always get a valid fixed-size pixel payload."""
+    w, h = size
+    return (
+        thumbs.withColumn("warning", F.col("error"))
+        .withColumn(
+            "pixels",
+            F.when(F.col("error").isNull(), F.col("pixels"))
+            .otherwise(F.lit(blank_thumbnail(size, gray))))
+        .withColumn("width",
+                    F.when(F.col("error").isNull(), F.col("width"))
+                    .otherwise(F.lit(w)))
+        .withColumn("height",
+                    F.when(F.col("error").isNull(), F.col("height"))
+                    .otherwise(F.lit(h)))
+        .drop("error")
+    )
+
+
 NPZ_BUNDLE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("n_frames", T.IntegerType(), False),

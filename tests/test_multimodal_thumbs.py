@@ -94,6 +94,36 @@ def test_stretch_resize_exact_content():
     assert (up[0, 0] == arr[0, 0]).all() and (up[3, 3] == arr[1, 1]).all()
 
 
+def test_blank_thumbnail_fallback(spark):
+    """I5: failed decodes get the grey 224x224 placeholder + warning,
+    mirroring the reference's blank-thumbnail substitution
+    (inference.py:424-433)."""
+    from pyspark.sql import functions as F
+
+    from amazon_textract_transformer_pipeline_spark.operators.multimodal import (
+        blank_thumbnail,
+        fill_missing_thumbnails,
+    )
+
+    media = synth_media_df(spark, 10, seed=4)
+    # corrupt half the blobs → decode errors
+    broken = media.withColumn(
+        "blob",
+        F.when(F.col("media_id") % 2 == 0, F.col("blob"))
+        .otherwise(F.lit(b"not a fake1 blob")))
+    filled = fill_missing_thumbnails(
+        thumbnail_images(broken, size=(32, 32)), size=(32, 32)).collect()
+    assert len(filled) == 10
+    grey = blank_thumbnail((32, 32))
+    for r in filled:
+        if r.media_id % 2 == 0:
+            assert r.warning is None and bytes(r.pixels) != grey
+        else:
+            assert r.warning is not None
+            assert bytes(r.pixels) == grey
+            assert (r.width, r.height) == (32, 32)
+
+
 def test_thumbnail_pipeline_and_npz_roundtrip(spark):
     media = synth_media_df(spark, 40, seed=9)
     thumbs = thumbnail_images(media, size=(64, 64)).cache()
