@@ -106,9 +106,9 @@ def bench_queries(spark) -> dict[str, float]:
 #: is amortized and compute dominates. Fitting T(c) = W/c + F to measured
 #: walls gave F ≈ 12 s per run (scheduling + broadcast + action barriers);
 #: at 100k docs that floor capped measured efficiency at ~0.7 even though
-#: the compute part scaled ≥ 0.9 — 200k pushes the compute share past it
-#: (measured 0.898 at 200k vs 0.696 at 100k with identical code).
-SCALING_N_DOCS = {"sf0.001": 20000, "sf0.01": 50000, "sf0.1": 200000}
+#: the compute part scaled ≥ 0.9. Measured efficiency vs corpus size with
+#: identical code: 100k → 0.66-0.70, 200k → 0.77-0.90, 300k → 0.897.
+SCALING_N_DOCS = {"sf0.001": 20000, "sf0.01": 50000, "sf0.1": 300000}
 
 
 def _extract_once(cores: int, n_docs: int) -> None:
