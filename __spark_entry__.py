@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_bruteforce_topk": Q.q_ann_bruteforce_topk,
         "ann_lsh_topk": Q.q_ann_lsh_topk,
+        "ann_ivf_topk": Q.q_ann_ivf_topk,
         # text stats
         "text_stats": Q.q_text_stats,
         # geometric label join (G1/G2)
@@ -244,6 +245,50 @@ SELECT doc_id,
        {bpe_token_count_sql('text', 'duck')} AS n_tokens_est,
        {langid_sql('text', 'duck')} AS lang_guess
 FROM documents"""
+
+    # ann_ivf_topk oracle: sampled-centroid IVF-flat in plain SQL — cells =
+    # rank-1 centroid per vector (ties toward low cent_id), queries probe
+    # their 2 nearest cells, exact cosine within candidates.
+    sqls["ann_ivf_topk"] = f"""
+WITH cents AS MATERIALIZED (
+  SELECT vec_id AS cent_id, embedding AS centv
+  FROM embeddings WHERE vec_id % 37 = 0
+),
+cscore AS MATERIALIZED (
+  SELECT e.vec_id AS vid, c.cent_id,
+         round({X.cosine('c.centv', 'e.embedding', 'duck')}, 9) AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked_cells AS (
+  SELECT vid, cent_id,
+         row_number() OVER (PARTITION BY vid ORDER BY d DESC, cent_id ASC) AS r
+  FROM cscore
+),
+cells AS (SELECT vid AS cand_id, cent_id FROM ranked_cells WHERE r = 1),
+probes AS (
+  SELECT vid AS query_id, cent_id FROM ranked_cells
+  WHERE r <= 2 AND vid % 100 = 0
+),
+cand AS (
+  SELECT DISTINCT p.query_id, cl.cand_id
+  FROM probes p JOIN cells cl ON cl.cent_id = p.cent_id
+  WHERE cl.cand_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.cand_id,
+         round({X.cosine('q.embedding', 'e.embedding', 'duck')}, 9) AS cos9
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.cand_id
+),
+rr AS (
+  SELECT query_id, cand_id, cos9,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos9 DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cast(rank AS int) AS rank, cand_id, round(cos9, 6) AS cos
+FROM rr WHERE rank <= 5"""
 
     # smgt_seq2seq oracle: same synthetic annotation construction + the
     # extended-task parse rules (targetText default, wrong-without-target

@@ -192,6 +192,15 @@ def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
                       F.round("cos", 6).alias("cos"))
 
 
+def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    res = similarity.ivf_topk(
+        embs, embs.filter("vec_id % 100 = 0"), topk=5,
+        centroid_stride=37, nprobe=2)
+    return res.select("query_id", "rank", "cand_id",
+                      F.round("cos", 6).alias("cos"))
+
+
 # ---------------------------------------------------------------------------
 # Text stats
 # ---------------------------------------------------------------------------

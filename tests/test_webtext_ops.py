@@ -127,6 +127,25 @@ def test_lsh_topk_recall(spark, embs):
     assert rec > 0.5, f"recall too low: {rec}"
 
 
+def test_ivf_topk_recall(spark, embs):
+    """IVF-flat: probing more cells monotonically lifts recall vs exact;
+    every query gets ≤ topk ranked candidates."""
+    queries = embs.filter("vec_id % 50 = 0")
+    exact = similarity.brute_force_topk(embs, queries, topk=5).cache()
+    r1 = similarity.topk_recall(
+        exact, similarity.ivf_topk(embs, queries, topk=5,
+                                   centroid_stride=37, nprobe=1))
+    r3 = similarity.topk_recall(
+        exact, similarity.ivf_topk(embs, queries, topk=5,
+                                   centroid_stride=37, nprobe=3))
+    assert 0.0 < r1 <= r3 <= 1.0
+    assert r3 > 0.4, f"nprobe=3 recall suspiciously low: {r3}"
+    got = similarity.ivf_topk(embs, queries, topk=5,
+                              centroid_stride=37, nprobe=2)
+    per_q = got.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_q <= 5
+
+
 def test_text_stats(spark, docs):
     st = with_text_stats(docs).cache()
     row = st.filter("n_words > 0").limit(1).collect()[0]
