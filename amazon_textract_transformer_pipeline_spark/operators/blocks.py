@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..schemas import TEXTRACT_DOC_SCHEMA
+from ..schemas import PAGE_SCHEMA, TEXTRACT_DOC_SCHEMA
 from .assembly import words_view
 
 MODEL_VERSION = "custom-html-frontend-1.0"
@@ -55,7 +55,17 @@ def words_to_blocks(doc_words: DataFrame) -> DataFrame:
     flat word relation — enrichment columns (pred_cls/pcc/probs) serialize
     onto WORD blocks, the I4 JSON re-annotation (inference.py:484-492) in
     relational form. Shuffles on url only (line/page rollups reuse the same
-    partitioning)."""
+    partitioning).
+
+    When given the doc-grain nested view, empty pages (and fully empty
+    documents) still serialize as word-less PAGE blocks — matching the
+    reference emitter, where page existence comes from the page list, not
+    from word presence (ocr_engines/base.py:256-271)."""
+    skel = None
+    if "pages" in doc_words.columns:
+        skel = doc_words.select(
+            "url", F.explode("pages").alias("_p")
+        ).select("url", F.col("_p.page_num").alias("page_num"))
     wv = words_view(doc_words) if "pages" in doc_words.columns else doc_words
     wv = wv.withColumn(
         "line_uid", _block_id("url", F.lit("p"), "page_num", F.lit("L"), "line_id")
@@ -117,12 +127,19 @@ def words_to_blocks(doc_words: DataFrame) -> DataFrame:
         )
     )
 
-    pages = (
+    page_lines = (
         lines.groupBy("url", "page_num")
         .agg(F.array_sort(F.collect_list(F.struct(
             F.col("line_id").alias("l"),
             F.col("line_block").alias("lb"),
             F.col("word_blocks").alias("wbs")))).alias("lbs"))
+    )
+    if skel is not None:
+        # keep word-less pages: page rows come from the page skeleton, lbs
+        # stays NULL and the expressions below fall back to empty arrays
+        page_lines = skel.join(page_lines, ["url", "page_num"], "left")
+    pages = (
+        page_lines
         .select(
             "url", "page_num",
             F.struct(
@@ -134,20 +151,22 @@ def words_to_blocks(doc_words: DataFrame) -> DataFrame:
                 _geom(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(1.0)).alias("Geometry"),
                 F.array(F.struct(
                     F.lit("CHILD").alias("Type"),
-                    F.expr("transform(lbs, x -> x.lb.Id)").alias("Ids"),
+                    F.expr("coalesce(transform(lbs, x -> x.lb.Id), "
+                           "cast(array() as array<string>))").alias("Ids"),
                 )).alias("Relationships"),
                 F.lit(None).cast("int").alias("PredictedClass"),
                 F.lit(None).cast("double").alias("PredictedClassConfidence"),
                 F.lit(None).cast("array<double>").alias("ClassificationProbabilities"),
             ).alias("page_block"),
-            # page blocks then line+word blocks in order (base.py:278-289)
+            # page blocks then line+word blocks in order (base.py:278-289);
+            # NULL lbs (empty page) → NULL here, defaulted at doc assembly
             F.expr(
                 "flatten(transform(lbs, x -> concat(array(x.lb), x.wbs)))"
             ).alias("line_word_blocks"),
         )
     )
 
-    return (
+    assembled = (
         pages.groupBy("url")
         .agg(F.array_sort(F.collect_list(F.struct(
             F.col("page_num").alias("p"),
@@ -155,12 +174,28 @@ def words_to_blocks(doc_words: DataFrame) -> DataFrame:
             F.col("line_word_blocks").alias("lw")))).alias("pgs"))
         .select(
             "url",
-            F.lit(MODEL_VERSION).alias("DetectDocumentTextModelVersion"),
-            F.struct(F.size("pgs").alias("Pages")).alias("DocumentMetadata"),
-            F.lit("SUCCEEDED").alias("JobStatus"),
+            F.size("pgs").alias("_n_pages"),
+            # filter(array(x.pb), y -> false) = a correctly-typed empty
+            # block array for word-less pages (NULL x.lw)
             F.expr(
-                "flatten(transform(pgs, x -> concat(array(x.pb), x.lw)))"
+                "flatten(transform(pgs, x -> concat(array(x.pb), "
+                "coalesce(x.lw, filter(array(x.pb), y -> false)))))"
             ).alias("Blocks"),
+        )
+    )
+    # a zero-page document (pages = []) still serializes: Blocks = [] and
+    # DocumentMetadata.Pages = 0, so the url survives the roundtrip
+    urls = (doc_words if skel is not None else wv).select("url").distinct()
+    empty_blocks = F.array().cast(TEXTRACT_DOC_SCHEMA["Blocks"].dataType)
+    return (
+        urls.join(assembled, "url", "left")
+        .select(
+            "url",
+            F.lit(MODEL_VERSION).alias("DetectDocumentTextModelVersion"),
+            F.struct(F.coalesce("_n_pages", F.lit(0)).alias("Pages"))
+            .alias("DocumentMetadata"),
+            F.lit("SUCCEEDED").alias("JobStatus"),
+            F.coalesce("Blocks", empty_blocks).alias("Blocks"),
         )
     )
 
@@ -224,11 +259,29 @@ def blocks_to_words(doc_blocks: DataFrame) -> DataFrame:
             F.col("bpos").alias("word_block_pos"),
             F.col("b.Text").alias("text"),
             F.col("b.Confidence").alias("conf"),
+            # Polygon fallback: third-party Textract-style JSON may carry
+            # only the 4-corner Polygon (the reference serializes both,
+            # ocr_engines/base.py:131-141); derive the axis-aligned box from
+            # the polygon envelope when BoundingBox is absent.
             F.struct(
-                F.col("b.Geometry.BoundingBox.Left").alias("left"),
-                F.col("b.Geometry.BoundingBox.Top").alias("top"),
-                F.col("b.Geometry.BoundingBox.Width").alias("width"),
-                F.col("b.Geometry.BoundingBox.Height").alias("height"),
+                F.coalesce(
+                    F.col("b.Geometry.BoundingBox.Left"),
+                    F.expr("array_min(transform(b.Geometry.Polygon, p -> p.X))"),
+                ).alias("left"),
+                F.coalesce(
+                    F.col("b.Geometry.BoundingBox.Top"),
+                    F.expr("array_min(transform(b.Geometry.Polygon, p -> p.Y))"),
+                ).alias("top"),
+                F.coalesce(
+                    F.col("b.Geometry.BoundingBox.Width"),
+                    F.expr("array_max(transform(b.Geometry.Polygon, p -> p.X)) "
+                           "- array_min(transform(b.Geometry.Polygon, p -> p.X))"),
+                ).alias("width"),
+                F.coalesce(
+                    F.col("b.Geometry.BoundingBox.Height"),
+                    F.expr("array_max(transform(b.Geometry.Polygon, p -> p.Y)) "
+                           "- array_min(transform(b.Geometry.Polygon, p -> p.Y))"),
+                ).alias("height"),
             ).alias("box"),
             F.col("b.PredictedClass").alias("pred_cls"),
             F.col("b.PredictedClassConfidence").alias("pcc"),
@@ -242,11 +295,35 @@ def blocks_to_words(doc_blocks: DataFrame) -> DataFrame:
             "struct(text, conf, child_id as id, line_id, box) as w))), x -> x.w)"
         ).alias("words"))
     )
-    return (
-        page_words.groupBy("url")
+    # Page skeleton from the PAGE blocks, not from word presence: a page
+    # with no words (and a document with none at all) must survive the
+    # roundtrip — trp keeps empty pages too (trp_page_has_content is a
+    # separate filter, notebooks/util/preproc.py:97-98).
+    page_skel = (
+        doc_blocks.select("url", F.explode("Blocks").alias("b"))
+        .filter(F.col("b.BlockType") == "PAGE")
+        .select("url", F.col("b.Page").alias("page_num"))
+    )
+    empty_words = F.expr(
+        "cast(array() as array<struct<text:string,conf:double,id:string,"
+        "line_id:int,box:struct<left:double,top:double,width:double,"
+        "height:double>>>)")
+    full = page_skel.join(page_words, ["url", "page_num"], "left") \
+        .withColumn("words", F.coalesce("words", empty_words))
+    assembled = (
+        full.groupBy("url")
         .agg(F.expr(
             "transform(array_sort(collect_list(struct(page_num, words))), "
             "x -> struct(x.page_num as page_num, x.words as words))"
         ).alias("pages"))
+    )
+    # zero-page documents (Blocks = []) keep their row: pages = [] typed
+    from pyspark.sql import types as T
+
+    empty_pages = F.array().cast(T.ArrayType(PAGE_SCHEMA))
+    return (
+        doc_blocks.select("url").distinct()
+        .join(assembled, "url", "left")
+        .withColumn("pages", F.coalesce("pages", empty_pages))
         .select("url", F.size("pages").alias("n_pages"), "pages")
     )

@@ -139,6 +139,46 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, topk: int = 5,
     )
 
 
+def cosine_near_duplicates(embs: DataFrame, threshold: float = 0.98,
+                           n_planes: int = 8, n_tables: int = 4,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           dim: int = 64) -> DataFrame:
+    """Corpus-wide embedding near-dup pairs (a < b, cosine ≥ threshold) via
+    sign-LSH self-join — the scale form of dedup.embedding_near_duplicates'
+    linear consecutive scan. Candidates must share a bucket in ≥1 table
+    (recall grows with n_tables; at 0.98 cosine the angle is ~11°, so
+    8-plane sign buckets collide with high probability); never all-pairs —
+    the self-join is keyed (table, bucket) exactly like lsh_topk.
+    """
+    def bucketed(prefix: str) -> DataFrame:
+        parts = []
+        for t in range(n_tables):
+            e = _sign_bucket_expr(vec_col, n_planes, t, "spark", dim=dim)
+            parts.append(embs.select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col(vec_col).alias(f"{prefix}v"),
+                F.lit(t).alias("tbl"), F.expr(e).alias("bucket")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    left = bucketed("a").repartition("tbl", "bucket")
+    right = left.select(F.col("a_id").alias("b_id"),
+                        F.col("av").alias("bv"), "tbl", "bucket")
+    return (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(F.col("a_id").alias("a"), F.col("b_id").alias("b"),
+                "av", "bv")
+        .distinct()
+        .withColumn("cos", F.round(cosine_col("av", "bv"), 9))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, topk: int = 5,
              centroid_stride: int = 100, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -46,9 +46,8 @@ def test_json_roundtrip_byte_identical(spark, pages_df, doc_words):
     js = blocks_to_json(words_to_blocks(doc_words))
     back = blocks_to_words(parse_textract_json(js))
     text = assemble_text(back).join(pages_df.select("url", "text"), "url")
-    # empty docs produce no blocks → absent after roundtrip; exclude
-    n_nonempty = pages_df.filter("text <> ''").count()
-    assert text.count() == n_nonempty
+    # round 2: empty docs/pages survive the roundtrip too (empty Blocks)
+    assert text.count() == pages_df.count()
     assert text.filter("extracted_text <> text").count() == 0
 
 
@@ -77,3 +76,32 @@ def test_enriched_blocks_carry_predictions(spark, doc_words):
     assert all(0.5 <= w.PredictedClassConfidence < 1.0 for w in words)
     lines = [b for b in one.Blocks if b.BlockType == "LINE"]
     assert all(ln.PredictedClass is None for ln in lines)
+
+
+def test_roundtrip_preserves_empty_pages_and_docs(spark):
+    """A word-less page and a zero-page document must survive
+    serialize → JSON → parse → word view (page existence comes from PAGE
+    blocks / the page list, not word presence — ocr_engines/base.py:256-271).
+    Round-2 regression: both used to vanish."""
+    from amazon_textract_transformer_pipeline_spark.operators.blocks import (
+        blocks_to_json,
+        blocks_to_words,
+        parse_textract_json,
+        words_to_blocks,
+    )
+    from amazon_textract_transformer_pipeline_spark.schemas import DOC_WORDS_SCHEMA
+
+    word = {"text": "hi", "conf": 99.0, "id": "w1", "line_id": 0,
+            "box": {"left": 0.1, "top": 0.1, "width": 0.1, "height": 0.1}}
+    rows = [
+        ("doc://full", 2, [{"page_num": 1, "words": [word]},
+                           {"page_num": 2, "words": []}]),   # empty page 2
+        ("doc://empty", 0, []),                               # zero pages
+    ]
+    dw = spark.createDataFrame(rows, DOC_WORDS_SCHEMA)
+    rt = {r.url: r for r in blocks_to_words(
+        parse_textract_json(blocks_to_json(words_to_blocks(dw)))).collect()}
+    assert set(rt) == {"doc://full", "doc://empty"}
+    assert rt["doc://full"].n_pages == 2
+    assert [len(p["words"]) for p in rt["doc://full"].pages] == [1, 0]
+    assert rt["doc://empty"].n_pages == 0 and rt["doc://empty"].pages == []

@@ -127,6 +127,56 @@ def test_lsh_topk_recall(spark, embs):
     assert rec > 0.5, f"recall too low: {rec}"
 
 
+def test_cosine_near_duplicates_planted(spark, embs):
+    """Plant barely-perturbed clones → the LSH self-join must recover them;
+    all reported pairs satisfy the threshold."""
+    clones = embs.limit(6).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x * 1.0001 + 0.0001 as float))")
+        .alias("embedding"))
+    corpus = embs.select("vec_id", "embedding").unionByName(clones)
+    nd = similarity.cosine_near_duplicates(
+        corpus, threshold=0.99, n_planes=8, n_tables=6).cache()
+    pairs = {(r.a, r.b) for r in nd.collect()}
+    planted = {(i, i + 500000) for i in range(6)}
+    assert planted <= pairs, planted - pairs
+    assert nd.filter("cos < 0.99 OR cos > 1.0").count() == 0
+
+
+def test_blocks_polygon_only_geometry(spark):
+    """Third-party Textract JSON with Polygon but no BoundingBox still
+    parses: the box derives from the polygon envelope."""
+    import json as _json
+
+    from amazon_textract_transformer_pipeline_spark.operators.blocks import (
+        blocks_to_words,
+        parse_textract_json,
+    )
+
+    poly = [{"X": 0.2, "Y": 0.1}, {"X": 0.5, "Y": 0.1},
+            {"X": 0.5, "Y": 0.3}, {"X": 0.2, "Y": 0.3}]
+    doc = {
+        "DetectDocumentTextModelVersion": "1.0",
+        "DocumentMetadata": {"Pages": 1},
+        "JobStatus": "SUCCEEDED",
+        "Blocks": [
+            {"Id": "L1", "BlockType": "LINE", "Page": 1,
+             "Relationships": [{"Type": "CHILD", "Ids": ["W1"]}]},
+            {"Id": "W1", "BlockType": "WORD", "Text": "hello",
+             "Confidence": 99.0, "Page": 1,
+             "Geometry": {"Polygon": poly}},
+        ],
+    }
+    df = spark.createDataFrame([("u1", _json.dumps(doc))],
+                               ["url", "textract_json"])
+    dw = blocks_to_words(parse_textract_json(df)).collect()
+    assert len(dw) == 1
+    box = dw[0].pages[0]["words"][0]["box"]
+    assert (box["left"], box["top"]) == (0.2, 0.1)
+    assert abs(box["width"] - 0.3) < 1e-12
+    assert abs(box["height"] - 0.2) < 1e-12
+
+
 def test_ivf_topk_recall(spark, embs):
     """IVF-flat: probing more cells monotonically lifts recall vs exact;
     every query gets ≤ topk ranked candidates."""
