@@ -298,11 +298,15 @@ def blocks_to_words(doc_blocks: DataFrame) -> DataFrame:
     # Page skeleton from the PAGE blocks, not from word presence: a page
     # with no words (and a document with none at all) must survive the
     # roundtrip — trp keeps empty pages too (trp_page_has_content is a
-    # separate filter, notebooks/util/preproc.py:97-98).
+    # separate filter, notebooks/util/preproc.py:97-98). Unioned with pages
+    # observed on content blocks so malformed third-party JSON lacking PAGE
+    # blocks still keeps its words.
     page_skel = (
         doc_blocks.select("url", F.explode("Blocks").alias("b"))
         .filter(F.col("b.BlockType") == "PAGE")
         .select("url", F.col("b.Page").alias("page_num"))
+        .unionByName(page_words.select("url", "page_num"))
+        .distinct()
     )
     empty_words = F.expr(
         "cast(array() as array<struct<text:string,conf:double,id:string,"
