@@ -169,10 +169,22 @@ def split_pages_to_windows(
     Map-only Arrow stage; downstream inference batches whole windows.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # web text repeats words heavily; memoize per-word token counts for
+        # the lifetime of the task (bounded: vocabulary ≪ corpus)
+        count_cache: dict[str, int] = {}
+
+        def n_toks(word: str) -> int:
+            c = count_cache.get(word)
+            if c is None:
+                if len(count_cache) >= 1 << 20:
+                    count_cache.clear()
+                count_cache[word] = c = len(tokenize(word))
+            return c
+
         for b in batches:
             out: dict[str, list] = {f.name: [] for f in WINDOW_SCHEMA}
             for url, page_num, words in zip(b["url"], b["page_num"], b["words"]):
-                counts = [len(tokenize(w["text"])) for w in words]
+                counts = [n_toks(w["text"]) for w in words]
                 for wix, (s, e) in enumerate(
                     split_words(counts, max_content_seq_len)
                 ):
