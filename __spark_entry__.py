@@ -5,10 +5,10 @@ exposes one callable per implemented operator family (SURVEY.md §2) over the
 driver's parquet tables; ``oracle_sql`` gives the DuckDB recomputation of
 each SQL-expressible query (built in
 amazon_textract_transformer_pipeline_spark/oracle.py from the same layout
-constants and portable-hash stubs as the Spark side). Queries without an
-oracle entry (splitter windows, multimodal metadata) are non-SQL-expressible
-ops → rows-only checks. G4 box merge (connected components) gets an
-exact-value oracle via a recursive CTE.
+constants and portable-hash stubs as the Spark side). The only query without an
+oracle entry is multimodal_metadata (binary-header sniffing) → rows-only
+check. G4 box merge (connected components) and the Q2 splitter (greedy
+window fill with backfill) get exact-value oracles via recursive CTEs.
 """
 
 from __future__ import annotations
@@ -245,6 +245,10 @@ SELECT doc_id,
        {bpe_token_count_sql('text', 'duck')} AS n_tokens_est,
        {langid_sql('text', 'duck')} AS lang_guess
 FROM documents"""
+
+    # split_windows oracle: recursive-CTE replay of the greedy splitter
+    # (oracle.py::split_windows_oracle) — was rows-only in round 1
+    sqls["split_windows"] = O.split_windows_oracle(24)
 
     # ann_ivf_topk oracle: sampled-centroid IVF-flat in plain SQL — cells =
     # rank-1 centroid per vector (ties toward low cent_id), queries probe

@@ -269,3 +269,74 @@ SELECT url,
                  THEN NULL ELSE fconf END), 6) AS Confidence
 FROM fields GROUP BY url
 """
+
+
+def split_windows_oracle(max_content_seq_len: int = 24) -> str:
+    """Exact-value oracle for the Q2 splitter (split_pages_to_windows):
+    replays the greedy word-boundary fill, the strict <50%-backfill pull,
+    and the oversize-word skip (reference ``splitting.py:63-144``) as a
+    recursive CTE over per-page token-offset arrays.
+
+    Token counts are the SQL twin of ``stub_tokenize``: alpha/digit/symbol
+    runs, ``ceil(len(run)/4)`` pieces each. All transitions are monotone
+    prefix-sum scans, so "how many words fit" and "how far can the start
+    pull back" are plain ``list_filter`` counts — no correlated subqueries.
+    """
+    L = max_content_seq_len
+    half = L / 2.0
+    return f"""
+WITH RECURSIVE {WORDS_CTE},
+tc AS (
+  SELECT url, page_num, word_pos,
+    CAST(coalesce(list_sum(list_transform(
+      regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9]'),
+      p -> ceil(len(p) / 4.0)::BIGINT)), 1) AS BIGINT) AS n_tok
+  FROM w
+),
+cum0 AS (
+  SELECT url, page_num, word_pos,
+         sum(n_tok) OVER (PARTITION BY url, page_num ORDER BY word_pos) AS cum
+  FROM tc
+),
+pg AS (
+  SELECT url, page_num,
+         list_prepend(CAST(0 AS BIGINT),
+                      list(CAST(cum AS BIGINT) ORDER BY word_pos)) AS cum,
+         count(*) AS n
+  FROM cum0 GROUP BY url, page_num
+),
+st(url, page_num, cum, n, ix_start, wix, es, ee) AS (
+  SELECT url, page_num, cum, n, CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM pg
+  UNION ALL
+  SELECT url, page_num, cum, n,
+         CASE WHEN fits = 0 THEN ix_start + 1 ELSE endw END,
+         CASE WHEN fits = 0 THEN wix ELSE wix + 1 END,
+         CASE WHEN fits = 0 THEN NULL ELSE startw END,
+         CASE WHEN fits = 0 THEN NULL ELSE endw END
+  FROM (
+    SELECT url, page_num, cum, n, ix_start, wix, fits,
+           ix_start + fits AS endw,
+           CASE WHEN fits > 0
+                 AND (cum[CAST(ix_start + fits + 1 AS INT)]
+                      - cum[CAST(ix_start + 1 AS INT)]) < {half}
+                THEN ix_start + 1
+                     - len(list_filter(
+                         list_slice(cum, 1, CAST(ix_start + 1 AS INT)),
+                         c -> cum[CAST(ix_start + fits + 1 AS INT)] - c <= {L}))
+                ELSE ix_start END AS startw
+    FROM (
+      SELECT *,
+             len(list_filter(
+               list_slice(cum, CAST(ix_start + 2 AS INT), CAST(n + 1 AS INT)),
+               c -> c - cum[CAST(ix_start + 1 AS INT)] <= {L})) AS fits
+      FROM st WHERE ix_start < n
+    )
+  )
+)
+SELECT url, cast(page_num AS int) AS page_num, cast(wix AS int) AS window_ix,
+       cast(es AS int) AS start_word, cast(ee AS int) AS end_word,
+       cast(cum[CAST(ee + 1 AS INT)] - cum[CAST(es + 1 AS INT)] AS int)
+         AS n_tokens
+FROM st WHERE es IS NOT NULL"""
