@@ -5,10 +5,10 @@ exposes one callable per implemented operator family (SURVEY.md §2) over the
 driver's parquet tables; ``oracle_sql`` gives the DuckDB recomputation of
 each SQL-expressible query (built in
 amazon_textract_transformer_pipeline_spark/oracle.py from the same layout
-constants and portable-hash stubs as the Spark side). The only query without an
-oracle entry is multimodal_metadata (binary-header sniffing) → rows-only
-check. G4 box merge (connected components) and the Q2 splitter (greedy
-window fill with backfill) get exact-value oracles via recursive CTEs.
+constants and portable-hash stubs as the Spark side). Every query has an exact-value
+oracle: G4 box merge (connected components) and the Q2 splitter (greedy
+window fill with backfill) via recursive CTEs; multimodal metadata against
+the closed-form spec of the deterministic FAKE1 generator.
 """
 
 from __future__ import annotations
@@ -245,6 +245,21 @@ SELECT doc_id,
        {bpe_token_count_sql('text', 'duck')} AS n_tokens_est,
        {langid_sql('text', 'duck')} AS lang_guess
 FROM documents"""
+
+    # multimodal_metadata oracle: the FAKE1 generator is a closed-form
+    # function of media_id (multimodal.synth_media_df/make_fake_blob:
+    # width 64+i%512, height 48+i%384, fmt i%5, payload w*h%4096+64 bytes,
+    # 14-byte header) — so the decode-metadata path checks end-to-end
+    # against the spec, not against itself.
+    sqls["multimodal_metadata"] = """
+SELECT i AS media_id,
+       cast(64 + i % 512 AS int) AS width,
+       cast(48 + i % 384 AS int) AS height,
+       (['png','jpeg','tiff','wav','mp4'])[(i % 5)::INT + 1] AS format,
+       cast(14 + ((64 + i % 512) * (48 + i % 384)) % 4096 + 64 AS bigint)
+         AS n_bytes,
+       true AS valid
+FROM range(0, 200) t(i)"""
 
     # split_windows oracle: recursive-CTE replay of the greedy splitter
     # (oracle.py::split_windows_oracle) — was rows-only in round 1
