@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": Q.q_train_test_split,
         # SMGT extended custom-task form → seq2seq examples
         "smgt_seq2seq": Q.q_smgt_seq2seq,
+        # web-corpus cleaning (canonical urls, boilerplate-line removal)
+        "canonical_urls": Q.q_canonical_urls,
+        "boilerplate_lines": Q.q_boilerplate_lines,
         # rows-only (non-SQL-expressible)
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
@@ -245,6 +248,53 @@ SELECT doc_id,
        {bpe_token_count_sql('text', 'duck')} AS n_tokens_est,
        {langid_sql('text', 'duck')} AS lang_guess
 FROM documents"""
+
+    # webclean oracles: same messy-url construction + the dual-engine
+    # canonicalizer; boilerplate removal replayed relationally.
+    from amazon_textract_transformer_pipeline_spark.driver_queries import (
+        messy_url_sql,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.webclean import (
+        canonical_url_sql,
+    )
+
+    sqls["canonical_urls"] = f"""
+WITH u AS (SELECT doc_id, {messy_url_sql('duck')} AS url FROM documents)
+SELECT doc_id, url, {canonical_url_sql('url', 'duck')} AS url_canon FROM u"""
+
+    sqls["boilerplate_lines"] = f"""
+WITH base AS (SELECT doc_id, {dw} AS ws FROM documents),
+ll AS (
+  SELECT doc_id,
+         list_transform(range(0, ((len(ws) - 1) // 12) + 1),
+                        i -> array_to_string(list_slice(ws,
+                               CAST(i * 12 + 1 AS INT),
+                               CAST(i * 12 + 12 AS INT)), ' ')) AS lines
+  FROM base WHERE len(ws) > 0
+),
+l0 AS (
+  SELECT doc_id, unnest(lines) AS line,
+         generate_subscripts(lines, 1) - 1 AS line_ix
+  FROM ll
+),
+lh AS (
+  SELECT doc_id, line_ix, line, {X.h64('line', 'duck')} AS h
+  FROM l0 WHERE line != ''
+),
+common AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM lh GROUP BY h)
+  WHERE nd >= 3
+),
+flag AS (
+  SELECT l.doc_id, l.line_ix, l.line, (c.h IS NOT NULL) AS rm
+  FROM lh l LEFT JOIN common c ON c.h = l.h
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT rm THEN line END, ' '
+                           ORDER BY line_ix), '') AS kept_text,
+       CAST(sum(CASE WHEN NOT rm THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+FROM flag GROUP BY doc_id"""
 
     # multimodal_metadata oracle: the FAKE1 generator is a closed-form
     # function of media_id (multimodal.synth_media_df/make_fake_blob:

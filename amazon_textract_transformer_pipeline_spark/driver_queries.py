@@ -26,6 +26,7 @@ from .operators.frontend import html_to_words
 from .operators.labels import merge_annotation_boxes, word_single_labels
 from .operators.multimodal import decode_metadata, synth_media_df
 from .operators.smgt import smgt_to_seq2seq_examples
+from .operators.webclean import canonical_url_sql, remove_boilerplate_lines
 from .operators.splitting import split_pages_to_windows
 from .operators.textstats import with_text_stats
 from .sources.bridge import pages_from_documents
@@ -309,6 +310,40 @@ def q_train_test_split(spark, sf_dir) -> DataFrame:
     return d.select(
         "doc_id",
         F.expr(f"CASE WHEN {h} % 10 < 9 THEN 'train' ELSE 'test' END").alias("split"))
+
+
+def messy_url_sql(engine: str) -> str:
+    """Deterministic messy-URL construction from doc_id (both engines):
+    mixed-case scheme/host, www + default port, tracking params, fragment."""
+    s = "string" if engine == "spark" else "varchar"
+    did = f"cast(doc_id as {s})"
+    return (
+        f"concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Host' "
+        f"ELSE 'hTTp://Host' END, cast(doc_id % 7 as {s}), "
+        f"'.Example.COM', CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END, "
+        f"CASE WHEN doc_id % 5 = 4 THEN '' ELSE concat('/Path/', {did}) END, "
+        f"CASE WHEN doc_id % 3 = 0 THEN concat('?b=2&utm_source=x&a=', {did}, '#frag') "
+        f"WHEN doc_id % 3 = 1 THEN '?fbclid=zz&gclid=q' "
+        f"ELSE '#only-fragment' END)"
+    )
+
+
+def q_canonical_urls(spark, sf_dir) -> DataFrame:
+    """URL canonicalization over deterministically-messy urls: lowercase
+    scheme/host, strip www + default ports + tracking params + fragment,
+    sort surviving params, default path to '/'."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(messy_url_sql("spark")).alias("url"))
+    return d.select(
+        "doc_id", "url",
+        F.expr(canonical_url_sql("url", "spark")).alias("url_canon"))
+
+
+def q_boilerplate_lines(spark, sf_dir) -> DataFrame:
+    """CCNet-style boilerplate removal at the engine's line grain: lines
+    repeated across ≥ 3 distinct docs vanish from every doc."""
+    out = remove_boilerplate_lines(_docs(spark, sf_dir), min_docs=3)
+    return out.select("doc_id", "kept_text", "n_lines_kept", "n_lines_removed")
 
 
 def q_smgt_seq2seq(spark, sf_dir) -> DataFrame:

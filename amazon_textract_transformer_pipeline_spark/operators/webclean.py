@@ -1,0 +1,110 @@
+"""Web-corpus cleaning operators: URL canonicalization and boilerplate-line
+removal — the standard front-of-pipeline passes of a Common-Crawl-scale
+training-data flow (CCNet/C4-style), expressed as dual-engine SQL so the
+driver oracle checks exact values.
+
+* :func:`canonical_url_sql` — deterministic URL normal form: lowercase
+  scheme/host, strip a leading ``www.``, drop default ports (:80/:443),
+  drop the fragment, remove tracking params (``utm_*``, ``fbclid``,
+  ``gclid``), sort the surviving query params, default empty path to ``/``.
+  The canonical url is the right dedup/join key for page-grain data (the
+  reference's S7 idempotency token hashes source URIs the same way,
+  ``fn-call-textract/main.py:160-187``).
+* :func:`remove_boilerplate_lines` — line-grain dedup: lines whose
+  normalized hash appears in ≥ ``min_docs`` distinct documents are
+  boilerplate (nav/footer/cookie banners at web scale) and are removed from
+  every document. One shuffle on the 64-bit line hash with map-side partial
+  counts; the common-line set is broadcast back (it is tiny by definition —
+  heavy-tailed repetition).
+
+Scale note: both are linear passes. The boilerplate counting shuffle is the
+same hash-groupBy shape as exact dedup; no all-pairs anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import textsql as X
+
+TRACKING_RE = "^(utm_[^=]*|fbclid|gclid)="
+
+
+def canonical_url_sql(url_expr: str, engine: str) -> str:
+    """Cross-engine SQL for the URL normal form (see module docstring)."""
+    spark = engine == "spark"
+    rx = "regexp_extract"
+    scheme = f"lower({rx}({url_expr}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    auth = f"lower({rx}({url_expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    # strip leading www. and default ports
+    if spark:
+        host = f"regexp_replace({auth}, '^www\\\\.', '')"
+        host = (f"CASE WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '') "
+                f"WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
+                f"ELSE {host} END")
+    else:
+        host = f"regexp_replace({auth}, '^www\\.', '')"
+        host = (f"CASE WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '') "
+                f"WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
+                f"ELSE {host} END")
+    path = f"{rx}({url_expr}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    if spark:
+        query = f"{rx}({url_expr}, '\\\\?([^#]*)', 1)"
+        kept = (f"array_sort(filter(split({query}, '&'), "
+                f"p -> p <> '' AND NOT p rlike '{TRACKING_RE}'))")
+        qtail = (f"CASE WHEN size({kept}) > 0 "
+                 f"THEN concat('?', array_join({kept}, '&')) ELSE '' END")
+    else:
+        query = f"{rx}({url_expr}, '\\?([^#]*)', 1)"
+        kept = (f"list_sort(list_filter(string_split({query}, '&'), "
+                f"p -> p != '' AND NOT regexp_matches(p, '{TRACKING_RE}')))")
+        qtail = (f"CASE WHEN len({kept}) > 0 "
+                 f"THEN concat('?', array_to_string({kept}, '&')) ELSE '' END")
+    return f"concat({scheme}, '://', {host}, {path}, {qtail})"
+
+
+def with_canonical_url(df: DataFrame, url_col: str = "url",
+                       out_col: str = "url_canon") -> DataFrame:
+    return df.withColumn(out_col, F.expr(canonical_url_sql(url_col, "spark")))
+
+
+def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 2,
+                             words_per_line: int = 12,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Drop lines (consecutive ``words_per_line``-word chunks, the engine's
+    page-line grain) that occur in ≥ ``min_docs`` distinct documents.
+
+    Returns (id_col, kept_text, n_lines_kept, n_lines_removed). Line
+    identity = portable hash64 of the whitespace-normalized line.
+    """
+    ws = X.words(text_col, "spark")
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.expr(
+            f"transform(sequence(0, cast((size({ws}) - 1) / {words_per_line} as int)), "
+            f"i -> concat_ws(' ', slice({ws}, i * {words_per_line} + 1, {words_per_line})))"
+        )).alias("line_ix", "line"),
+    ).filter(F.col("line") != "")
+    lines = lines.withColumn("lh", F.expr(X.h64("line", "spark")))
+    common = F.broadcast(
+        lines.groupBy("lh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("lh")
+    )
+    flagged = lines.join(common.withColumn("_rm", F.lit(True)), "lh", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.expr("concat_ws(' ', transform(array_sort(collect_list("
+                   "struct(line_ix, CASE WHEN _rm IS NULL THEN line END as l)"
+                   ")), x -> x.l))").alias("kept_text"),
+            F.sum(F.when(F.col("_rm").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_lines_kept"),
+            F.sum(F.when(F.col("_rm").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_lines_removed"),
+        )
+    )

@@ -1,0 +1,54 @@
+"""Web-corpus cleaning: URL canonical form + boilerplate-line removal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazon_textract_transformer_pipeline_spark.operators.webclean import (
+    remove_boilerplate_lines,
+    with_canonical_url,
+)
+
+CASES = [
+    # lowercase scheme+host, strip www + default port, path case kept
+    ("HTTPS://WWW.Ex.COM:443/Path/A", "https://ex.com/Path/A"),
+    ("hTTp://Ex.Com:80/x", "http://ex.com/x"),
+    # non-default port kept
+    ("http://ex.com:8080/x", "http://ex.com:8080/x"),
+    # empty path → '/'
+    ("https://ex.com", "https://ex.com/"),
+    # fragment dropped; tracking params dropped; survivors sorted
+    ("https://ex.com/p?b=2&utm_source=x&a=1#frag", "https://ex.com/p?a=1&b=2"),
+    ("https://ex.com/p?fbclid=zz&gclid=q", "https://ex.com/p"),
+    ("https://ex.com/p?utm_campaign=c", "https://ex.com/p"),
+    # params that merely contain 'utm_' mid-name are kept
+    ("https://ex.com/p?xutm_a=1", "https://ex.com/p?xutm_a=1"),
+]
+
+
+def test_canonical_url_rules(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)],
+                               ["i", "url"])
+    got = {r.i: r.url_canon for r in with_canonical_url(df).collect()}
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, (raw, got[i], want)
+
+
+def test_boilerplate_lines_planted(spark):
+    """Plant one 12-word line shared by 3 docs → removed everywhere; unique
+    lines stay; counts add up."""
+    nav = " ".join(f"nav{i}" for i in range(12))
+    rows = [
+        (1, nav + " " + " ".join(f"a{i}" for i in range(12))),
+        (2, nav + " " + " ".join(f"b{i}" for i in range(12))),
+        (3, " ".join(f"c{i}" for i in range(12)) + " " + nav),
+        (4, " ".join(f"d{i}" for i in range(12))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           remove_boilerplate_lines(df, min_docs=3).collect()}
+    assert got[1].n_lines_removed == 1 and got[1].n_lines_kept == 1
+    assert got[1].kept_text.startswith("a0")
+    assert got[3].n_lines_removed == 1  # nav as the second line too
+    assert got[4].n_lines_removed == 0 and "d0" in got[4].kept_text
+    assert "nav0" not in " ".join(r.kept_text for r in got.values())
