@@ -62,7 +62,10 @@ def canonical_url_sql(url_expr: str, engine: str) -> str:
                 f"p -> p != '' AND NOT regexp_matches(p, '{TRACKING_RE}')))")
         qtail = (f"CASE WHEN len({kept}) > 0 "
                  f"THEN concat('?', array_to_string({kept}, '&')) ELSE '' END")
-    return f"concat({scheme}, '://', {host}, {path}, {qtail})"
+    # no parseable scheme://authority → pass through untouched (garbage in,
+    # same garbage out beats inventing '://' artifacts)
+    return (f"CASE WHEN {scheme} = '' OR {auth} = '' THEN {url_expr} "
+            f"ELSE concat({scheme}, '://', {host}, {path}, {qtail}) END")
 
 
 def with_canonical_url(df: DataFrame, url_col: str = "url",

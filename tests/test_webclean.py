@@ -23,6 +23,10 @@ CASES = [
     ("https://ex.com/p?utm_campaign=c", "https://ex.com/p"),
     # params that merely contain 'utm_' mid-name are kept
     ("https://ex.com/p?xutm_a=1", "https://ex.com/p?xutm_a=1"),
+    # schemeless / garbage → passthrough, never '://' artifacts
+    ("ex.com/no-scheme", "ex.com/no-scheme"),
+    ("not a url at all", "not a url at all"),
+    ("https:///missing-host", "https:///missing-host"),
 ]
 
 
