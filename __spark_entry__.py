@@ -288,13 +288,20 @@ common AS (
 flag AS (
   SELECT l.doc_id, l.line_ix, l.line, (c.h IS NOT NULL) AS rm
   FROM lh l LEFT JOIN common c ON c.h = l.h
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN NOT rm THEN line END, ' '
+                             ORDER BY line_ix), '') AS kept_text,
+         CAST(sum(CASE WHEN NOT rm THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+         CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+  FROM flag GROUP BY doc_id
 )
-SELECT doc_id,
-       coalesce(string_agg(CASE WHEN NOT rm THEN line END, ' '
-                           ORDER BY line_ix), '') AS kept_text,
-       CAST(sum(CASE WHEN NOT rm THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
-       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
-FROM flag GROUP BY doc_id"""
+SELECT d.doc_id,
+       coalesce(a.kept_text, '') AS kept_text,
+       CAST(coalesce(a.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(coalesce(a.n_lines_removed, 0) AS BIGINT) AS n_lines_removed
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
 
     # multimodal_metadata oracle: the FAKE1 generator is a closed-form
     # function of media_id (multimodal.synth_media_df/make_fake_blob:

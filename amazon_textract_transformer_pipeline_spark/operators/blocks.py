@@ -233,12 +233,16 @@ def blocks_to_words(doc_blocks: DataFrame) -> DataFrame:
     word order and line membership (trp.Document semantics,
     fn-postprocess/main.py:77). All joins are within-document.
     """
+    # Textract's *sync* API omits Page on single-page documents (the async
+    # API always sets it) — coalesce NULL Page to 1 everywhere so the
+    # [url, page_num] equi-joins below still match; a NULL key would
+    # silently drop every word of such a document.
     lines = (
         doc_blocks.select("url", F.posexplode("Blocks").alias("bpos", "b"))
         .filter(F.col("b.BlockType") == "LINE")
         .select(
             "url",
-            F.col("b.Page").alias("page_num"),
+            F.coalesce(F.col("b.Page"), F.lit(1)).alias("page_num"),
             F.col("bpos").alias("line_pos"),
             F.explode(F.expr(
                 "filter(b.Relationships, r -> r.Type = 'CHILD')[0].Ids"
@@ -304,7 +308,7 @@ def blocks_to_words(doc_blocks: DataFrame) -> DataFrame:
     page_skel = (
         doc_blocks.select("url", F.explode("Blocks").alias("b"))
         .filter(F.col("b.BlockType") == "PAGE")
-        .select("url", F.col("b.Page").alias("page_num"))
+        .select("url", F.coalesce(F.col("b.Page"), F.lit(1)).alias("page_num"))
         .unionByName(page_words.select("url", "page_num"))
         .distinct()
     )

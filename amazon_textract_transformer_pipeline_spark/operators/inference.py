@@ -226,7 +226,11 @@ def transformer_window_predictions(windows: DataFrame, load_fn,
                     out["word_id"].append(wid)
                     out["probs"].append(sel.mean(axis=0).tolist())
             pending.clear()
-            yield pd.DataFrame(out)
+            # all-empty column lists default to float64 and Arrow can't
+            # cast that to list<struct> — same guard as predict_windows;
+            # reachable when every pending window carries zero words.
+            if out["url"]:
+                yield pd.DataFrame(out)
 
         for b in batches:
             for url, page, wix, sw, words in zip(

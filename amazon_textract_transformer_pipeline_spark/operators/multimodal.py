@@ -250,6 +250,7 @@ def fake_decode_array(blob: bytes) -> tuple[np.ndarray, int | None]:
 
 THUMBNAIL_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_ix", T.IntegerType(), False),
     T.StructField("width", T.IntegerType(), False),
     T.StructField("height", T.IntegerType(), False),
     T.StructField("rotation_applied", T.IntegerType(), False),
@@ -271,7 +272,7 @@ def thumbnail_images(media: DataFrame, size=(224, 224),
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for mid, blob in zip(b["media_id"], b["blob"]):
+            for mid, fix, blob in zip(b["media_id"], b["frame_ix"], b["blob"]):
                 try:
                     arr, orient = decode_fn(bytes(blob))
                     arr, angle = apply_exif_rotation_array(arr, orient)
@@ -281,21 +282,28 @@ def thumbnail_images(media: DataFrame, size=(224, 224),
                         out = letterbox_array(arr, w, h, letterbox_color)
                     else:
                         out = stretch_resize_array(arr, w, h)
-                    rows.append({"media_id": int(mid),
+                    rows.append({"media_id": int(mid), "frame_ix": int(fix),
                                  "width": int(out.shape[1]),
                                  "height": int(out.shape[0]),
                                  "rotation_applied": angle,
                                  "pixels": out.astype(np.uint8).tobytes(),
                                  "error": None})
                 except Exception as e:
-                    rows.append({"media_id": int(mid), "width": 0, "height": 0,
+                    rows.append({"media_id": int(mid), "frame_ix": int(fix),
+                                 "width": 0, "height": 0,
                                  "rotation_applied": 0, "pixels": b"",
                                  "error": str(e)})
             if rows:
                 yield pd.DataFrame(rows, columns=[f.name for f in THUMBNAIL_SCHEMA])
 
-    return media.select("media_id", "blob").mapInPandas(
-        run, schema=THUMBNAIL_SCHEMA)
+    # frame_ix = explicit page/frame order within a media (explode_frames
+    # emits one); single-blob relations get 0. Carrying it through is what
+    # makes the npz bundle's frame_NNNN naming deterministic.
+    if "frame_ix" in media.columns:
+        src = media.select("media_id", F.col("frame_ix").cast("int"), "blob")
+    else:
+        src = media.select("media_id", F.lit(0).alias("frame_ix"), "blob")
+    return src.mapInPandas(run, schema=THUMBNAIL_SCHEMA)
 
 
 def pil_decode_fn(blob: bytes):
@@ -382,7 +390,11 @@ def thumbnail_npz_bundles(thumbs: DataFrame) -> DataFrame:
     import io
 
     def bundle(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["media_id"]).reset_index(drop=True)
+        # Sort on the explicit frame index (page order, preproc.py:120-173)
+        # — Arrow delivers group rows in arbitrary order, and media_id is
+        # constant within the group so sorting on it would be a no-op.
+        key = "frame_ix" if "frame_ix" in pdf.columns else "media_id"
+        pdf = pdf.sort_values([key]).reset_index(drop=True)
         arrays = {}
         for i, r in pdf.iterrows():
             px = np.frombuffer(r["pixels"], dtype=np.uint8)

@@ -14,8 +14,9 @@ driver oracle checks exact values.
   normalized hash appears in ≥ ``min_docs`` distinct documents are
   boilerplate (nav/footer/cookie banners at web scale) and are removed from
   every document. One shuffle on the 64-bit line hash with map-side partial
-  counts; the common-line set is broadcast back (it is tiny by definition —
-  heavy-tailed repetition).
+  counts; the common-line set joins back as a shuffle hash join on the
+  uniform hash key (NOT a broadcast — at web scale that set is billions of
+  rows; see the inline note). Every input document keeps an output row.
 
 Scale note: both are linear passes. The boilerplate counting shuffle is the
 same hash-groupBy shape as exact dedup; no all-pairs anything.
@@ -92,14 +93,21 @@ def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 2,
         )).alias("line_ix", "line"),
     ).filter(F.col("line") != "")
     lines = lines.withColumn("lh", F.expr(X.h64("line", "spark")))
-    common = F.broadcast(
+    # Deliberately NOT broadcast: at Common-Crawl scale the set of lines
+    # repeated in ≥min_docs documents is itself enormous (every nav/footer/
+    # cookie string on the web — billions of rows), so a forced broadcast
+    # OOMs every executor. A plain shuffle join on ``lh`` is the right plan:
+    # the key is a uniform 64-bit hash (no skew), the count aggregate
+    # already does map-side partials, and AQE can still choose a broadcast
+    # at small scale if the relation measures tiny at runtime.
+    common = (
         lines.groupBy("lh")
         .agg(F.countDistinct(id_col).alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("lh")
     )
     flagged = lines.join(common.withColumn("_rm", F.lit(True)), "lh", "left")
-    return (
+    agg = (
         flagged.groupBy(id_col)
         .agg(
             F.expr("concat_ws(' ', transform(array_sort(collect_list("
@@ -109,5 +117,20 @@ def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 2,
             .cast("bigint").alias("n_lines_kept"),
             F.sum(F.when(F.col("_rm").isNotNull(), 1).otherwise(0))
             .cast("bigint").alias("n_lines_removed"),
+        )
+    )
+    # Every input doc keeps a row: a zero-word document produces no line
+    # rows (the line != '' filter), but a corpus cleaner must not silently
+    # drop documents — emit kept_text='' / counts 0, same as a doc whose
+    # every line was removed.
+    return (
+        docs.select(id_col).join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("bigint")
+            .alias("n_lines_kept"),
+            F.coalesce("n_lines_removed", F.lit(0)).cast("bigint")
+            .alias("n_lines_removed"),
         )
     )

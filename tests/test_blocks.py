@@ -105,3 +105,42 @@ def test_roundtrip_preserves_empty_pages_and_docs(spark):
     assert rt["doc://full"].n_pages == 2
     assert [len(p["words"]) for p in rt["doc://full"].pages] == [1, 0]
     assert rt["doc://empty"].n_pages == 0 and rt["doc://empty"].pages == []
+
+
+def test_sync_api_json_without_page_numbers(spark):
+    """Textract's *sync* API omits the Page attribute on single-page docs
+    (async always sets it). Words must land on page 1, not be dropped via a
+    NULL-key join."""
+    import json
+
+    doc = {
+        "JobStatus": "SUCCEEDED",
+        "DocumentMetadata": {"Pages": 1},
+        "Blocks": [
+            {"BlockType": "PAGE", "Id": "p1",
+             "Geometry": {"BoundingBox": {"Left": 0.0, "Top": 0.0,
+                                          "Width": 1.0, "Height": 1.0}},
+             "Relationships": [{"Type": "CHILD", "Ids": ["l1"]}]},
+            {"BlockType": "LINE", "Id": "l1", "Text": "hello world",
+             "Confidence": 99.0,
+             "Geometry": {"BoundingBox": {"Left": 0.1, "Top": 0.1,
+                                          "Width": 0.5, "Height": 0.05}},
+             "Relationships": [{"Type": "CHILD", "Ids": ["w1", "w2"]}]},
+            {"BlockType": "WORD", "Id": "w1", "Text": "hello",
+             "Confidence": 99.0,
+             "Geometry": {"BoundingBox": {"Left": 0.1, "Top": 0.1,
+                                          "Width": 0.2, "Height": 0.05}}},
+            {"BlockType": "WORD", "Id": "w2", "Text": "world",
+             "Confidence": 98.0,
+             "Geometry": {"BoundingBox": {"Left": 0.35, "Top": 0.1,
+                                          "Width": 0.2, "Height": 0.05}}},
+        ],
+    }
+    df = spark.createDataFrame([("doc://sync", json.dumps(doc))],
+                               ["url", "textract_json"])
+    rt = blocks_to_words(parse_textract_json(df)).collect()
+    assert len(rt) == 1
+    r = rt[0]
+    assert r.n_pages == 1
+    assert r.pages[0]["page_num"] == 1
+    assert [w["text"] for w in r.pages[0]["words"]] == ["hello", "world"]

@@ -197,3 +197,18 @@ def test_transformer_cross_window_mean(spark, small_windows):
     row = agg.limit(1).collect()[0]
     assert row.pred_cls == int(np.argmax(row.probs))
     assert row.pcc == pytest.approx(max(row.probs))
+
+
+def test_transformer_zero_word_windows_no_arrow_crash(spark):
+    """Externally-supplied windows with zero words must not crash the Arrow
+    cast (all-empty pd.DataFrame defaults to float64 columns) — the flush()
+    guard mirrors predict_windows'."""
+    from amazon_textract_transformer_pipeline_spark.operators.splitting import (
+        WINDOW_SCHEMA,
+    )
+
+    empty = spark.createDataFrame(
+        [("doc://z", 1, 0, 0, 0, 2, [], [])], schema=WINDOW_SCHEMA)
+    out = transformer_window_predictions(
+        empty, mock_load_fn, tokenize=ADAPTED).collect()
+    assert out == []

@@ -151,3 +151,25 @@ def test_thumbnail_pipeline_and_npz_roundtrip(spark):
     with np.load(io.BytesIO(b0.npz)) as z:
         assert len(z.files) == b0.n_frames == 1
         assert z["frame_0000"].shape == (64, 64, 3)
+
+
+def test_npz_multi_frame_order_deterministic(spark):
+    """frame_NNNN naming must follow the explicit frame index (reference
+    preproc.py writes pages in order), not Arrow delivery order."""
+    # 3 frames for one media, each a distinct solid-ish FAKE1 blob; shuffle
+    # the input row order to make Arrow delivery order adversarial.
+    blobs = [bytes(make_fake_blob(16 + 4 * i, 8 + 2 * i, 0, seed=100 + i))
+             for i in range(3)]
+    rows = [(7, ix, blobs[ix]) for ix in (2, 0, 1)]
+    media = spark.createDataFrame(rows, ["media_id", "frame_ix", "blob"]) \
+        .repartition(3)
+    thumbs = thumbnail_images(media, size=(32, 32))
+    got = {r.frame_ix: r for r in thumbs.collect()}
+    assert set(got) == {0, 1, 2}
+    bundles = thumbnail_npz_bundles(thumbs).collect()
+    assert len(bundles) == 1 and bundles[0].n_frames == 3
+    with io.BytesIO(bundles[0].npz) as buf, np.load(buf) as z:
+        for ix in range(3):
+            expect = np.frombuffer(got[ix].pixels, dtype=np.uint8) \
+                .reshape(32, 32, 3)
+            assert (z[f"frame_{ix:04d}"] == expect).all()

@@ -56,3 +56,30 @@ def test_boilerplate_lines_planted(spark):
     assert got[3].n_lines_removed == 1  # nav as the second line too
     assert got[4].n_lines_removed == 0 and "d0" in got[4].kept_text
     assert "nav0" not in " ".join(r.kept_text for r in got.values())
+
+
+def test_boilerplate_keeps_empty_docs(spark):
+    """Zero-word docs must keep an output row (kept_text='', counts 0) —
+    same universe contract as docs whose every line was removed."""
+    nav = " ".join(f"nav{i}" for i in range(12))
+    rows = [(1, nav), (2, nav), (3, nav), (4, ""), (5, "   ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           remove_boilerplate_lines(df, min_docs=3).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for d in (4, 5):
+        assert got[d].kept_text == ""
+        assert got[d].n_lines_kept == 0 and got[d].n_lines_removed == 0
+    for d in (1, 2, 3):
+        assert got[d].kept_text == ""
+        assert got[d].n_lines_kept == 0 and got[d].n_lines_removed == 1
+
+
+def test_boilerplate_join_not_broadcast(spark):
+    """The common-line set must not carry a forced broadcast hint: at web
+    scale it is billions of rows. Assert no ResolvedHint/broadcast marker
+    survives into the optimized plan beyond what AQE chooses at runtime."""
+    df = spark.createDataFrame([(1, "a b"), (2, "a b")], ["doc_id", "text"])
+    plan = remove_boilerplate_lines(df, min_docs=2)._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "ResolvedHint" not in plan
