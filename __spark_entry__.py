@@ -32,6 +32,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.q_extract_text(spark, "/root/testdata/sf0.001")
 
 
+def _simhash64_duck_ctes(dw: str) -> str:
+    """Staged-CTE DuckDB replay of dedup.simhash_sketch (64-bit): one md5
+    per word (two 32-bit halves of the same digest), 64 bit-sums, packed
+    signed-BIGINT sketch. Materialized stages — the inline HOF form would
+    recompute md5 64× per word (DuckDB inlines CTE text)."""
+    from amazon_textract_transformer_pipeline_spark.functions import portable
+
+    sums = []
+    packs = []
+    for b in range(64):
+        src, sh = ("lo", b) if b < 32 else ("hi", b - 32)
+        sums.append(f"sum((({src} >> {sh}) & 1) * 2 - 1) AS b{b}")
+        packs.append(f"CASE WHEN b{b} > 0 THEN "
+                     f"CAST({X.simhash_bit_weight(b)} AS BIGINT) "
+                     f"ELSE 0::BIGINT END")
+    return f"""WITH wx AS MATERIALIZED (
+  SELECT doc_id, unnest({dw}) AS w FROM documents
+),
+hh AS MATERIALIZED (
+  SELECT doc_id, {portable.duck_hash32('w', 1)} AS lo,
+         {portable.duck_hash32('w', 9)} AS hi
+  FROM wx
+),
+bsums AS (
+  SELECT doc_id, {', '.join(sums)} FROM hh GROUP BY doc_id
+),
+sk AS (
+  SELECT doc_id, CAST({' + '.join(packs)} AS BIGINT) AS simhash FROM bsums
+)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction path (SURVEY §2.3/§2.4/§2.8)
@@ -41,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_values": Q.q_field_values,
         "fields": Q.q_fields,
         "doc_confidence": Q.q_doc_confidence,
+        "apply_review": Q.q_apply_review,
         # dedup / sketches
         "fingerprint": Q.q_fingerprint,
         "minhash_signature": Q.q_minhash_signature,
@@ -86,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "field_values": O.field_values_oracle(),
         "fields": O.fields_oracle(),
         "doc_confidence": O.doc_confidence_oracle(),
+        "apply_review": O.apply_review_oracle(),
         "fingerprint": f"""
 SELECT doc_id, {X.h64(X.norm_text('text', 'duck'), 'duck')} AS fingerprint
 FROM documents""",
@@ -142,11 +175,17 @@ SELECT d1.doc_id AS a, d2.doc_id AS b,
         len(list_distinct(list_concat(d1.sh, d2.sh))), 6) AS jaccard
 FROM w d1 JOIN w d2 ON d2.doc_id = d1.doc_id + 1""",
         "simhash": f"""
-SELECT doc_id, {X.simhash32(dw, 'duck')} AS simhash FROM documents""",
+{_simhash64_duck_ctes(dw)}
+SELECT d.doc_id, CAST(coalesce(sk.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sk ON sk.doc_id = d.doc_id""",
         "simhash_hamming_consecutive": f"""
-WITH s AS (SELECT doc_id, {X.simhash32(dw, 'duck')} AS sh FROM documents)
+{_simhash64_duck_ctes(dw)},
+s AS (
+  SELECT d.doc_id, CAST(coalesce(sk.simhash, 0) AS BIGINT) AS sh
+  FROM documents d LEFT JOIN sk ON sk.doc_id = d.doc_id
+)
 SELECT s1.doc_id AS a, s2.doc_id AS b,
-       {X.hamming32('s1.sh', 's2.sh', 'duck')}::BIGINT AS hamming
+       {X.hamming('s1.sh', 's2.sh', 'duck', 64)}::BIGINT AS hamming
 FROM s s1 JOIN s s2 ON s2.doc_id = s1.doc_id + 1""",
         "embedding_cosine_consecutive": f"""
 SELECT e1.vec_id AS a, e2.vec_id AS b,
@@ -322,13 +361,16 @@ FROM range(0, 200) t(i)"""
     # (oracle.py::split_windows_oracle) — was rows-only in round 1
     sqls["split_windows"] = O.split_windows_oracle(24)
 
-    # ann_ivf_topk oracle: sampled-centroid IVF-flat in plain SQL — cells =
+    # ann_ivf_topk oracle: fixed-k sampled-centroid IVF-flat in plain SQL —
+    # centroids = first 64 vectors in portable-hash order of the id, cells =
     # rank-1 centroid per vector (ties toward low cent_id), queries probe
     # their 2 nearest cells, exact cosine within candidates.
     sqls["ann_ivf_topk"] = f"""
 WITH cents AS MATERIALIZED (
   SELECT vec_id AS cent_id, embedding AS centv
-  FROM embeddings WHERE vec_id % 37 = 0
+  FROM embeddings
+  ORDER BY {X.h64("cast(vec_id AS VARCHAR)", 'duck')}, vec_id
+  LIMIT 64
 ),
 cscore AS MATERIALIZED (
   SELECT e.vec_id AS vid, c.cent_id,

@@ -27,7 +27,7 @@ from .operators.labels import merge_annotation_boxes, word_single_labels
 from .operators.multimodal import decode_metadata, synth_media_df
 from .operators.smgt import smgt_to_seq2seq_examples
 from .operators.webclean import canonical_url_sql, remove_boilerplate_lines
-from .operators.splitting import split_pages_to_windows
+from .operators.splitting import split_pages_to_window_bounds
 from .operators.textstats import with_text_stats
 from .sources.bridge import pages_from_documents
 
@@ -100,6 +100,33 @@ def q_fields(spark, sf_dir) -> DataFrame:
         "Value", F.round("Confidence", 6).alias("Confidence"))
 
 
+def q_apply_review(spark, sf_dir) -> DataFrame:
+    """Human-review merge-back over the consolidated fields with a
+    deterministic synthetic review set (same portable-hash construction as
+    oracle.apply_review_oracle: h%3==0 rows are reviewed, h%4 picks
+    presence-unchecked / exact-confirm / corrected-value / unanswered)."""
+    from .operators.review import apply_review
+
+    cfg = field_config_df(spark, DEMO_CONFIG)
+    m = _mentions(spark, sf_dir)
+    f = consolidate_fields(m, cfg, _all_urls(spark, sf_dir))
+    base = f.withColumn(
+        "_h", F.expr(X.h64("concat(url, '|', FieldName)", "spark")))
+    reviews = base.filter("_h % 3 = 0").select(
+        "url", "FieldName",
+        F.expr("_h % 4 <> 0").alias("present"),
+        F.expr("CASE WHEN _h % 4 = 1 THEN Value "
+               "WHEN _h % 4 = 2 THEN concat(Value, ' (corrected)') END")
+        .alias("review_value"),
+        F.lit(None).cast("array<string>").alias("review_values"),
+    )
+    merged = apply_review(f, reviews)
+    return merged.select(
+        "url", "ClassId", "FieldName", "SortOrder",
+        F.col("NumDetections").cast("bigint").alias("NumDetections"),
+        "Value", F.round("Confidence", 6).alias("Confidence"), "reviewed")
+
+
 def q_doc_confidence(spark, sf_dir) -> DataFrame:
     cfg = field_config_df(spark, DEMO_CONFIG)
     m = _mentions(spark, sf_dir)
@@ -160,7 +187,7 @@ def q_simhash_hamming_consecutive(spark, sf_dir) -> DataFrame:
     return (
         a.join(b, "a")
         .withColumn("hamming",
-                    F.expr(X.hamming32("sa", "sb", "spark")).cast("bigint"))
+                    F.expr(X.hamming("sa", "sb", "spark", 64)).cast("bigint"))
         .select("a", "b", "hamming")
     )
 
@@ -197,7 +224,7 @@ def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
     embs = _embs(spark, sf_dir)
     res = similarity.ivf_topk(
         embs, embs.filter("vec_id % 100 = 0"), topk=5,
-        centroid_stride=37, nprobe=2)
+        n_centroids=64, nprobe=2)
     return res.select("query_id", "rank", "cand_id",
                       F.round("cos", 6).alias("cos"))
 
@@ -381,8 +408,7 @@ def q_smgt_seq2seq(spark, sf_dir) -> DataFrame:
 # ---------------------------------------------------------------------------
 def q_split_windows(spark, sf_dir) -> DataFrame:
     pages = pages_view(_doc_words(spark, sf_dir))
-    return split_pages_to_windows(pages, max_content_seq_len=24).select(
-        "url", "page_num", "window_ix", "start_word", "end_word", "n_tokens")
+    return split_pages_to_window_bounds(pages, max_content_seq_len=24)
 
 
 def q_g4_box_merge(spark, sf_dir) -> DataFrame:

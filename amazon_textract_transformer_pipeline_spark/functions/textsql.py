@@ -17,7 +17,13 @@ is exact on both engines.
 
 from __future__ import annotations
 
-from .portable import duck_hash64, spark_hash64
+from .portable import (
+    INT64_MIN_SQL,
+    duck_hash32,
+    duck_hash64,
+    spark_hash32,
+    spark_hash64,
+)
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1; products stay < 2^62
 
@@ -87,31 +93,69 @@ def band_hashes(sig_expr: str, n_bands: int, rows_per_band: int, engine: str) ->
     return f"list_transform(range(0, {n_bands}), b -> {h64(band, 'duck')})"
 
 
-def simhash32(ws_expr: str, engine: str) -> str:
-    """32-bit SimHash over word hashes: bit b set iff Σ_tokens ±1 > 0."""
-    base = h64("w", engine)
+def simhash_bit_weight(b: int) -> str:
+    """Signed-BIGINT weight of sketch bit ``b`` — bit 63 is Long.MIN (the
+    two's-complement top bit), emitted as an overflow-safe literal because
+    ``1 << 63`` errors on DuckDB and wraps on Spark."""
+    return INT64_MIN_SQL if b == 63 else str(1 << b)
+
+
+def simhash(ws_expr: str, engine: str, bits: int = 64) -> str:
+    """``bits``-wide SimHash over word hashes: bit b set iff Σ_tokens ±1 > 0.
+
+    Word-hash bits come from two md5-derived 32-bit halves (hex chars 1-8 /
+    9-16 of ONE digest) so the sketch widens to 64 bits without a second
+    digest; the packed sketch is a signed BIGINT (bit 63 = sign bit). Wider
+    sketches are the N²/B lever of the near-dup join: the block-join bucket
+    space must grow with the corpus, and a 32-bit sketch caps it (VERDICT
+    r2 #4). Inline single-expression form for oracles/parity tests; the
+    engine path is operators/dedup.py::simhash_sketch (explode + one hash
+    aggregate — same values).
+    """
+    assert 1 <= bits <= 64
     if engine == "spark":
-        hs = f"transform({ws_expr}, w -> {base})"
-        bitsum = (f"aggregate({hs}, cast(0 as bigint), "
-                  f"(acc, h) -> acc + (((h >> b) & 1) * 2 - 1))")
-        return (f"aggregate(transform(sequence(0, 31), b -> "
-                f"CASE WHEN ({bitsum}) > 0 THEN shiftleft(cast(1 as bigint), b) "
-                f"ELSE cast(0 as bigint) END), cast(0 as bigint), (a, x) -> a + x)")
-    hs = f"list_transform({ws_expr}, w -> {base})"
-    bitsum = f"list_sum(list_transform({hs}, h -> ((h >> b) & 1) * 2 - 1))"
-    # DuckDB list_sum returns HUGEINT which lands in pandas as float64 and
-    # breaks the driver's value-hash vs Spark's int64 — cast back to BIGINT.
-    return (f"CAST(list_sum(list_transform(range(0, 32), b -> "
-            f"CASE WHEN ({bitsum}) > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) "
-            f"AS BIGINT)")
+        lo, hi = spark_hash32("w", 1), spark_hash32("w", 9)
+        terms = []
+        for b in range(bits):
+            src, sh = (lo, b) if b < 32 else (hi, b - 32)
+            bitsum = (f"aggregate({ws_expr}, cast(0 as bigint), "
+                      f"(acc, w) -> acc + ((({src} >> {sh}) & 1) * 2 - 1))")
+            terms.append(f"CASE WHEN ({bitsum}) > 0 THEN "
+                         f"cast({simhash_bit_weight(b)} as bigint) "
+                         f"ELSE cast(0 as bigint) END")
+        return "(" + " + ".join(terms) + ")"
+    lo, hi = duck_hash32("w", 1), duck_hash32("w", 9)
+    terms = []
+    for b in range(bits):
+        src, sh = (lo, b) if b < 32 else (hi, b - 32)
+        # DuckDB list_sum returns HUGEINT which lands in pandas as float64
+        # and breaks the driver's value-hash vs Spark's int64 — CAST result.
+        bitsum = (f"list_sum(list_transform({ws_expr}, "
+                  f"w -> (({src} >> {sh}) & 1) * 2 - 1))")
+        terms.append(f"CASE WHEN coalesce({bitsum}, 0) > 0 THEN "
+                     f"CAST({simhash_bit_weight(b)} AS BIGINT) "
+                     f"ELSE 0::BIGINT END")
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def simhash32(ws_expr: str, engine: str) -> str:
+    """Legacy 32-bit form (kept for parity tests; engine default is 64)."""
+    return simhash(ws_expr, engine, bits=32)
+
+
+def hamming(a: str, b: str, engine: str, bits: int = 64) -> str:
+    """Hamming distance between two packed sketches. Arithmetic right shift
+    + ``& 1`` extracts each bit correctly even for negative (bit-63-set)
+    sketches on both engines."""
+    if engine == "spark":
+        return (f"aggregate(transform(sequence(0, {bits - 1}), bb -> "
+                f"(({a} ^ {b}) >> bb) & 1), cast(0 as bigint), (x, y) -> x + y)")
+    return (f"list_sum(list_transform(range(0, {bits}), bb -> "
+            f"(xor({a}, {b}) >> bb) & 1))")
 
 
 def hamming32(a: str, b: str, engine: str) -> str:
-    if engine == "spark":
-        return (f"aggregate(transform(sequence(0, 31), bb -> "
-                f"(({a} ^ {b}) >> bb) & 1), cast(0 as bigint), (x, y) -> x + y)")
-    return (f"list_sum(list_transform(range(0, 32), bb -> "
-            f"(xor({a}, {b}) >> bb) & 1))")
+    return hamming(a, b, engine, bits=32)
 
 
 def jaccard(ws_a: str, ws_b: str, n: int, engine: str) -> str:

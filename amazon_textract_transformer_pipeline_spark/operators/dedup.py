@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import portable
 from ..functions import textsql as X
+
+SIMHASH_BITS = 64  # sketch width; bucket space of the near-dup block join
 
 DEFAULT_K = 16
 DEFAULT_BANDS = 4  # 4 bands × 4 rows: s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
@@ -216,48 +219,68 @@ def near_duplicates(docs: DataFrame, threshold: float = 0.7,
 
 
 def simhash_sketch(docs: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
-    """Relational SimHash: word rows → codegen'd md5 → 32 bit-sums in one
+                   text_col: str = "text",
+                   bits: int = SIMHASH_BITS) -> DataFrame:
+    """Relational SimHash: word rows → ONE codegen'd md5 per word (two
+    32-bit halves sliced from the same digest) → ``bits`` bit-sums in one
     hash aggregate → bits recombined by plain arithmetic. Identical values
-    to textsql.simhash32 (the oracle form). Returns docs plus ``simhash``."""
+    to textsql.simhash (the oracle form). Returns docs plus ``simhash``.
+
+    Default 64-bit: the sketch width bounds the near-dup block-join bucket
+    space (N²/B), so 32 bits caps the corpus size this engine claims —
+    64-bit buckets keep growing to 10^12 docs (VERDICT r2 #4). Bit 63 packs
+    as the BIGINT sign bit (weight Long.MIN)."""
     wh = docs.select(
         id_col,
         F.explode(F.expr(X.words(text_col, "spark"))).alias("w"),
-    ).select(id_col, F.expr(X.h64("w", "spark")).alias("h"))
-    sums = [
-        F.sum(F.expr(f"((h >> {b}) & 1) * 2 - 1")).alias(f"_b{b}")
-        for b in range(32)
-    ]
-    bits = sum(
+    ).select(
+        id_col,
+        F.expr(portable.spark_hash32("w", 1)).alias("h_lo"),
+        F.expr(portable.spark_hash32("w", 9)).alias("h_hi"),
+    )
+    sums = []
+    for b in range(bits):
+        src, sh = ("h_lo", b) if b < 32 else ("h_hi", b - 32)
+        sums.append(
+            F.sum(F.expr(f"(({src} >> {sh}) & 1) * 2 - 1")).alias(f"_b{b}"))
+    bitsv = sum(
         (F.when(F.col(f"_b{b}") > 0,
-                F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
-        for b in range(32)
+                 F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("bigint"))
+         .otherwise(F.lit(0).cast("bigint")))
+        for b in range(bits)
     )
     agg = wh.groupBy(id_col).agg(*sums).select(
-        id_col, bits.alias("simhash"))
+        id_col, bitsv.alias("simhash"))
     return docs.join(agg, id_col, "left").withColumn(
         "simhash", F.coalesce("simhash", F.lit(0).cast("bigint")))
 
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
-                            id_col: str = "doc_id") -> DataFrame:
-    """SimHash near-dups via the block-permutation trick: split the 32-bit
-    sketch into ``max_hamming + 1`` blocks — by pigeonhole, any pair within
-    the Hamming budget shares at least one exact block — join on
-    (block_ix, block_value), then verify Hamming. Linear + bucketed, never
-    all-pairs.
+                            id_col: str = "doc_id",
+                            bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash near-dups via the block-permutation trick: split the
+    ``bits``-wide sketch into ``max_hamming + 1`` blocks — by pigeonhole,
+    any pair within the Hamming budget shares at least one exact block —
+    join on (block_ix, block_value), then verify Hamming. Linear +
+    bucketed, never all-pairs.
 
     Block count tracks the budget so the bucket space is as large as the
-    guarantee allows: ≤3 → 4×8-bit blocks (2^8 values each), ≤2 → 3×11-bit
-    (2^11), ≤1 → 2×16-bit (2^16). Fixed bucket spaces are the scale hazard
-    here — with B buckets the join degenerates toward N²/B; at 10^12-doc
-    scale move to a 64-bit sketch (same construction, wider blocks) so the
-    bucket space grows with the corpus.
+    guarantee allows: over 64 bits, ≤3 → 4×16-bit blocks (2^16 values
+    each), ≤2 → 3×22-bit (4.2M), ≤1 → 2×32-bit (4.3B). The bucket space is
+    the N²/B lever of this join — the 64-bit default keeps B growing to
+    10^12-doc corpora where the old 32-bit sketch capped it (≤2 gave only
+    2^11 buckets). Negative (bit-63-set) sketches block-extract correctly:
+    arithmetic ``>>`` sign-extends above bit 63 but ``& mask`` keeps only
+    in-range bits plus sign copies — a deterministic function of the same
+    sketch bits on both join sides.
     """
     n_blocks = max_hamming + 1
-    bsize = -(-32 // n_blocks)
-    mask = (1 << bsize) - 1
-    sk = simhash_sketch(docs).select(F.col(id_col).alias("doc_id"), "simhash")
+    bsize = -(-bits // n_blocks)
+    # full-width block (max_hamming=0): (1<<64)-1 overflows BIGINT literals;
+    # -1 is the same all-ones bit pattern in two's complement
+    mask = (1 << bsize) - 1 if bsize < 64 else -1
+    sk = simhash_sketch(docs, bits=bits).select(
+        F.col(id_col).alias("doc_id"), "simhash")
     blocks = sk.select(
         "doc_id", "simhash",
         F.posexplode(
@@ -273,7 +296,7 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
         left.join(right, ["block_ix", "block_val"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "sh_a", "sh_b").distinct()
-        .withColumn("hamming", F.expr(X.hamming32("sh_a", "sh_b", "spark")))
+        .withColumn("hamming", F.expr(X.hamming("sh_a", "sh_b", "spark", bits)))
     )
     return pairs.filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
 

@@ -180,27 +180,38 @@ def cosine_near_duplicates(embs: DataFrame, threshold: float = 0.98,
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, topk: int = 5,
-             centroid_stride: int = 100, nprobe: int = 2,
+             n_centroids: int = 256, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-flat approximate top-k: corpus partitioned into Voronoi cells
     around coarse centroids; queries search only their ``nprobe`` nearest
     cells.
 
-    Centroids are *sampled corpus vectors* (every ``centroid_stride``-th id)
-    rather than k-means — the classic random-centroid IVF baseline, chosen
-    here because it keeps the whole index relational and deterministic (no
-    iterative fit, exact DuckDB oracle). Swapping in trained centroids
-    changes only the ``cents`` relation.
+    Centroids are a *fixed-size* deterministic sample of ``n_centroids``
+    corpus vectors — the first k in portable-hash order of the id (a
+    seedless uniform draw both engines replay exactly) — rather than
+    k-means: the classic random-centroid IVF baseline, keeping the whole
+    index relational and deterministic (no iterative fit, exact DuckDB
+    oracle). Swapping in trained centroids changes only the ``cents``
+    relation. Choose ``n_centroids`` ≈ √N so cells hold ≈ √N vectors each
+    (FAISS guidance); crucially k is *independent of corpus size* — a
+    stride-based sample would make the broadcast relation and the N×(N/s)
+    assignment join grow linearly with the corpus and OOM at 10^12 rows.
 
-    Shuffle profile at scale: centroids are tiny → broadcast; cell
-    assignment is one map-side pass (corpus × k cosines, cheap zip_with
-    folds); the probe join is keyed by cell id so candidate generation is
-    bounded by cell sizes — never all-pairs. Recall rises with ``nprobe``
-    (measure with :func:`topk_recall`).
+    Shuffle profile at scale: the centroid sample is a per-partition top-k
+    merge (TakeOrderedAndProject — no full sort) and the k-row result is
+    broadcast; cell assignment is one map-side pass (corpus × k cosines,
+    cheap zip_with folds); the probe join is keyed by cell id so candidate
+    generation is bounded by cell sizes — never all-pairs. Recall rises
+    with ``nprobe`` (measure with :func:`topk_recall`).
     """
+    from ..functions import textsql as X
+
     cents = F.broadcast(
-        corpus.filter(F.col(id_col) % centroid_stride == 0)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")))
+        corpus.select(F.col(id_col).alias("cent_id"),
+                      F.col(vec_col).alias("centv"))
+        .orderBy(F.expr(X.h64(f"cast(cent_id as string)", "spark")),
+                 F.col("cent_id"))
+        .limit(n_centroids))
 
     def nearest_cells(df: DataFrame, prefix: str, n: int) -> DataFrame:
         """(id, cent_id) of the n nearest centroids. The k-way centroid

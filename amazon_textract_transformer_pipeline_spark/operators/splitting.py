@@ -204,6 +204,68 @@ def split_pages_to_windows(
     return pages.mapInPandas(run, schema=WINDOW_SCHEMA)
 
 
+WINDOW_BOUNDS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("page_num", T.IntegerType(), False),
+        T.StructField("window_ix", T.IntegerType(), False),
+        T.StructField("start_word", T.IntegerType(), False),
+        T.StructField("end_word", T.IntegerType(), False),
+        T.StructField("n_tokens", T.IntegerType(), False),
+    ]
+)
+
+
+def split_pages_to_window_bounds(
+    pages: DataFrame,
+    max_content_seq_len: int = DEFAULT_MAX_CONTENT_SEQ_LEN,
+    tokenize=stub_tokenize,
+) -> DataFrame:
+    """Bounds-only splitter: same windows as
+    :func:`split_pages_to_windows`, but the Arrow stage ships ONLY word
+    *texts* in (array<string>, projected JVM-side) and bounds out — no
+    word structs (conf/id/line_id/4-double box) cross the Python boundary
+    in either direction, and no window-overlap duplication of payloads.
+
+    Use when downstream needs window geometry, not collated content
+    (monitoring, n_examples audits, the driver gate). Measured ~2× on the
+    split_windows bench query at sf0.1 — serialization, not splitting, was
+    the cost (BENCH r2 regression investigation).
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        count_cache: dict[str, int] = {}
+
+        def n_toks(word: str) -> int:
+            c = count_cache.get(word)
+            if c is None:
+                if len(count_cache) >= 1 << 20:
+                    count_cache.clear()
+                count_cache[word] = c = len(tokenize(word))
+            return c
+
+        for b in batches:
+            out: dict[str, list] = {f.name: [] for f in WINDOW_BOUNDS_SCHEMA}
+            for url, page_num, texts in zip(b["url"], b["page_num"],
+                                            b["texts"]):
+                counts = [n_toks(t) for t in texts]
+                for wix, (s, e) in enumerate(
+                    split_words(counts, max_content_seq_len)
+                ):
+                    out["url"].append(url)
+                    out["page_num"].append(page_num)
+                    out["window_ix"].append(wix)
+                    out["start_word"].append(s)
+                    out["end_word"].append(e)
+                    out["n_tokens"].append(sum(counts[s:e]))
+            if out["url"]:
+                yield pd.DataFrame(out)
+
+    narrow = pages.select(
+        "url", "page_num",
+        F.expr("transform(words, w -> w.text)").alias("texts"))
+    return narrow.mapInPandas(run, schema=WINDOW_BOUNDS_SCHEMA)
+
+
 TOKENIZED_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),

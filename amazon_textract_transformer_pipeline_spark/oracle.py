@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from .config import DEMO_CONFIG, field_config_rows
 from .functions import textsql as X
+from .functions.portable import duck_hash64
 from .operators.enrich import N_STUB_CLASSES, RUN_LEN
 from .sources.bridge import LINES_PER_PAGE, WORDS_PER_LINE
 
@@ -190,8 +191,56 @@ FROM valn
 
 def fields_oracle() -> str:
     """E10-E13 full consolidation: one row per (url, configured field)."""
+    return "WITH " + _fields_ctes() + "\n" + _FIELDS_SELECT
+
+
+def apply_review_oracle() -> str:
+    """Review merge-back over the fields relation with a deterministic
+    synthetic review set (operators/review.py rules; reviews derive from
+    the portable hash of url|FieldName so both engines construct them
+    identically — h%3==0 rows are reviewed; h%4 picks presence-unchecked /
+    exact-confirm / corrected-value / unanswered)."""
+    h = duck_hash64("(url || '|' || FieldName)")
     return f"""
-WITH {VALUES_CTE},
+WITH {_fields_ctes()},
+model AS (
+  {_FIELDS_SELECT}
+),
+rv AS (
+  SELECT url, FieldName,
+         (h % 4 <> 0) AS present,
+         CASE WHEN h % 4 = 1 THEN Value
+              WHEN h % 4 = 2 THEN Value || ' (corrected)' END AS rvalue
+  FROM (SELECT *, {h} AS h FROM model)
+  WHERE h % 3 = 0
+),
+j AS (
+  SELECT m.*, r.present, r.rvalue, (r.url IS NOT NULL) AS has_review,
+         (m.Value IS NULL) AS is_multi
+  FROM model m LEFT JOIN rv r
+    ON r.url = m.url AND r.FieldName = m.FieldName
+),
+mg AS (
+  SELECT *,
+         (has_review AND (
+            (present = false)
+            OR (NOT is_multi AND coalesce(rvalue, '') <> '')
+         )) AS found,
+         CASE WHEN is_multi THEN (NumDetectedValues = 0)
+              ELSE (rvalue IS NOT DISTINCT FROM Value) END AS is_exact
+  FROM j
+)
+SELECT url, ClassId, FieldName, SortOrder,
+       CAST(CASE WHEN found AND NOT is_exact THEN 0
+                 ELSE NumDetections END AS BIGINT) AS NumDetections,
+       CASE WHEN found AND NOT is_multi THEN rvalue ELSE Value END AS Value,
+       round(CASE WHEN found THEN 1.0 ELSE Confidence END, 6) AS Confidence,
+       found AS reviewed
+FROM mg"""
+
+
+def _fields_ctes() -> str:
+    return f"""{VALUES_CTE},
 vc AS (
   SELECT v.*, c.sel, c.name, c.optional, c.sort_order FROM valn v
   JOIN cfg c ON c.class_id = v.class_id
@@ -218,8 +267,10 @@ per_field AS (
          cast(count(*) AS bigint) AS n_vals
   FROM valn GROUP BY url, class_id
 ),
-urls AS (SELECT DISTINCT url FROM base)
-SELECT u.url, c.class_id AS ClassId, c.name AS FieldName,
+urls AS (SELECT DISTINCT url FROM base)"""
+
+
+_FIELDS_SELECT = """SELECT u.url, c.class_id AS ClassId, c.name AS FieldName,
        c.sort_order AS SortOrder,
        coalesce(p.n_det, 0) AS NumDetections,
        coalesce(p.n_vals, 0) AS NumDetectedValues,
@@ -229,8 +280,7 @@ SELECT u.url, c.class_id AS ClassId, c.name AS FieldName,
 FROM urls u CROSS JOIN cfg c
 LEFT JOIN per_field p ON p.url = u.url AND p.class_id = c.class_id
 LEFT JOIN winners w ON w.url = u.url AND w.class_id = c.class_id
-LEFT JOIN multi m ON m.url = u.url AND m.class_id = c.class_id
-"""
+LEFT JOIN multi m ON m.url = u.url AND m.class_id = c.class_id"""
 
 
 def doc_confidence_oracle() -> str:

@@ -118,3 +118,20 @@ def test_tokenize_windows_collation(spark, doc_words):
         assert len(r.tokens) <= 512
         # all boxes within 0-1000
         assert all(0 <= v <= 1000 for b in r.boxes1000 for v in b)
+
+
+def test_window_bounds_variant_matches_full(spark, doc_words):
+    """split_pages_to_window_bounds must emit exactly the bounds of
+    split_pages_to_windows (same splitter, narrow Arrow payload)."""
+    from amazon_textract_transformer_pipeline_spark.operators.splitting import (
+        split_pages_to_window_bounds,
+    )
+
+    pages = pages_view(doc_words)
+    cols = ["url", "page_num", "window_ix", "start_word", "end_word",
+            "n_tokens"]
+    full = {tuple(r) for r in split_pages_to_windows(
+        pages, max_content_seq_len=24).select(*cols).collect()}
+    bounds = {tuple(r) for r in split_pages_to_window_bounds(
+        pages, max_content_seq_len=24).collect()}
+    assert full == bounds and len(bounds) > 0

@@ -89,7 +89,9 @@ def test_lsh_is_not_all_pairs(spark, docs):
 
 def test_simhash_near_duplicates(spark, docs):
     sk = dedup.simhash_sketch(docs.select("doc_id", "text"))
-    assert sk.filter("simhash < 0 OR simhash > 4294967295").count() == 0
+    # 64-bit sketch: with 500 docs, bits above 31 are set ~always on some
+    # doc — the old 32-bit form never leaves [0, 2^32)
+    assert sk.filter("simhash > 4294967295 OR simhash < 0").count() > 0
     clones = docs.limit(4).select(
         (F.col("doc_id") + 300000).alias("doc_id"), "text")
     pairs = dedup.simhash_near_duplicates(
@@ -182,16 +184,17 @@ def test_ivf_topk_recall(spark, embs):
     every query gets ≤ topk ranked candidates."""
     queries = embs.filter("vec_id % 50 = 0")
     exact = similarity.brute_force_topk(embs, queries, topk=5).cache()
+    # n_centroids ~ sqrt(N): 500 vectors -> 22 cells of ~23 vectors
     r1 = similarity.topk_recall(
         exact, similarity.ivf_topk(embs, queries, topk=5,
-                                   centroid_stride=37, nprobe=1))
+                                   n_centroids=22, nprobe=1))
     r3 = similarity.topk_recall(
         exact, similarity.ivf_topk(embs, queries, topk=5,
-                                   centroid_stride=37, nprobe=3))
+                                   n_centroids=22, nprobe=3))
     assert 0.0 < r1 <= r3 <= 1.0
     assert r3 > 0.4, f"nprobe=3 recall suspiciously low: {r3}"
     got = similarity.ivf_topk(embs, queries, topk=5,
-                              centroid_stride=37, nprobe=2)
+                              n_centroids=22, nprobe=2)
     per_q = got.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
     assert per_q <= 5
 
