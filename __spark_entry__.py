@@ -73,6 +73,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fields": Q.q_fields,
         "doc_confidence": Q.q_doc_confidence,
         "apply_review": Q.q_apply_review,
+        # evaluation metric computers (ner.py / seq2seq metrics analogs)
+        "eval_token_metrics": Q.q_eval_token_metrics,
+        "eval_class_ratios": Q.q_eval_class_ratios,
+        "eval_seq2seq_acc": Q.q_eval_seq2seq_acc,
         # dedup / sketches
         "fingerprint": Q.q_fingerprint,
         "minhash_signature": Q.q_minhash_signature,
@@ -119,6 +123,9 @@ def oracle_sql() -> dict[str, str]:
         "fields": O.fields_oracle(),
         "doc_confidence": O.doc_confidence_oracle(),
         "apply_review": O.apply_review_oracle(),
+        "eval_token_metrics": O.eval_token_metrics_oracle(),
+        "eval_class_ratios": O.eval_class_ratios_oracle(),
+        "eval_seq2seq_acc": O.eval_seq2seq_acc_oracle(),
         "fingerprint": f"""
 SELECT doc_id, {X.h64(X.norm_text('text', 'duck'), 'duck')} AS fingerprint
 FROM documents""",

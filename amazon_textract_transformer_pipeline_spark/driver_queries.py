@@ -100,6 +100,67 @@ def q_fields(spark, sf_dir) -> DataFrame:
         "Value", F.round("Confidence", 6).alias("Confidence"))
 
 
+def _eval_tokens(spark, sf_dir) -> DataFrame:
+    """Deterministic (example, label, pred) token relation for the eval
+    gates: labels = the stub classes; preds agree 70% of the time, diverge
+    via the portable hash otherwise; ~1/13 positions are pad (-100). Both
+    engines construct identical rows (oracle.eval_* replays this)."""
+    from .operators.enrich import N_STUB_CLASSES
+
+    we = _enriched_words(spark, sf_dir)
+    key = "concat(url, '#', cast(page_num as string), '#', cast(word_pos as string))"
+    h1 = X.h64(f"concat('pad', {key})", "spark")
+    h2 = X.h64(f"concat('prd', {key})", "spark")
+    return we.select(
+        F.expr("concat(url, '#', cast(page_num as string))").alias("example_id"),
+        F.expr(f"CASE WHEN {h1} % 13 = 0 THEN -100 ELSE pred_cls END")
+        .alias("label"),
+        F.expr(f"CASE WHEN {h2} % 10 < 7 THEN pred_cls "
+               f"ELSE cast({h2} % {N_STUB_CLASSES} as int) END").alias("pred"),
+    )
+
+
+def q_eval_token_metrics(spark, sf_dir) -> DataFrame:
+    from .operators.enrich import N_STUB_CLASSES
+    from .operators.evaluation import token_classification_metrics
+
+    m = token_classification_metrics(_eval_tokens(spark, sf_dir),
+                                     num_labels=N_STUB_CLASSES)
+    return m.select(
+        "n_examples", F.round("acc", 6).alias("acc"), "n_focus_examples",
+        F.round("focus_acc", 6).alias("focus_acc"),
+        F.round("focus_else_acc_minus_one", 6)
+        .alias("focus_else_acc_minus_one"))
+
+
+def q_eval_class_ratios(spark, sf_dir) -> DataFrame:
+    from .operators.evaluation import class_prediction_ratios
+
+    r = class_prediction_ratios(_eval_tokens(spark, sf_dir))
+    return r.select("pred_class", "n_tokens",
+                    F.round("ratio", 6).alias("ratio"))
+
+
+def q_eval_seq2seq_acc(spark, sf_dir) -> DataFrame:
+    """Normalized exact-match over deterministic (gen, target) pairs built
+    from each doc's first word: h%3 rotates match-after-normalization /
+    exact match / miss."""
+    from .operators.evaluation import seq2seq_exact_match
+
+    ws = X.words("text", "spark")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(f"coalesce({ws}[0], '')").alias("w1"))
+    h = X.h64("concat('s2s', cast(doc_id as string))", "spark")
+    pairs = d.select(
+        F.expr(f"CASE WHEN {h} % 3 = 0 THEN concat('  ', upper(w1), ' ') "
+               f"WHEN {h} % 3 = 1 THEN w1 "
+               f"ELSE concat(w1, 'x') END").alias("gen_text"),
+        F.col("w1").alias("target_text"),
+    )
+    m = seq2seq_exact_match(pairs)
+    return m.select("n_examples", F.round("acc", 6).alias("acc"))
+
+
 def q_apply_review(spark, sf_dir) -> DataFrame:
     """Human-review merge-back over the consolidated fields with a
     deterministic synthetic review set (same portable-hash construction as

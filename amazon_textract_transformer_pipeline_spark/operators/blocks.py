@@ -335,3 +335,45 @@ def blocks_to_words(doc_blocks: DataFrame) -> DataFrame:
         .withColumn("pages", F.coalesce("pages", empty_pages))
         .select("url", F.size("pages").alias("n_pages"), "pages")
     )
+
+
+def block_index(doc_blocks: DataFrame) -> DataFrame:
+    """trp-style ``doc.getBlockById`` relationally (reference
+    ``notebooks/src/code/inference.py:122,484`` uses trp lookups while
+    paging through results): one row per block keyed (url, block_id) with
+    its position and parsed struct — the join-side of any by-id lookup.
+    Page is coalesced to 1 for sync-API JSON that omits it."""
+    return doc_blocks.select(
+        "url", F.posexplode("Blocks").alias("block_pos", "block")
+    ).select(
+        "url",
+        F.col("block.Id").alias("block_id"),
+        F.col("block.BlockType").alias("block_type"),
+        F.coalesce(F.col("block.Page"), F.lit(1)).alias("page_num"),
+        "block_pos", "block",
+    )
+
+
+def get_block_by_id(doc_blocks: DataFrame, url: str, block_id: str):
+    """Driver-side convenience for porting trp code: fetch ONE block struct
+    by (url, id). A point lookup, not a pipeline stage — for bulk joins use
+    :func:`block_index` directly."""
+    rows = (
+        block_index(doc_blocks)
+        .filter((F.col("url") == url) & (F.col("block_id") == block_id))
+        .select("block").limit(1).collect()
+    )
+    return rows[0].block if rows else None
+
+
+def page_blocks(doc_blocks: DataFrame) -> DataFrame:
+    """trp ``page.blocks`` / ``extract_textract_page`` analog (reference
+    inference.py:100-130): blocks grouped back per page, in original block
+    order — the relational form of slicing one page's JSON out of a doc."""
+    ix = block_index(doc_blocks)
+    return (
+        ix.groupBy("url", "page_num")
+        .agg(F.expr(
+            "transform(array_sort(collect_list(struct(block_pos, block))), "
+            "x -> x.block)").alias("Blocks"))
+    )

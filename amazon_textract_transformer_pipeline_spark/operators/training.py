@@ -85,26 +85,34 @@ def flag_empty_pages(pages: DataFrame, words_col: str = "words",
 def synthetic_date_pairs(spark, n: int, seed: int = 42,
                          prompt: str = "Convert dates to YYYY-MM-DD: ") -> DataFrame:
     """T6 (seq2seq/date_normalization.py:98-225): deterministic
-    prompt/answer pairs over weighted formats — the seq2seq task fixture."""
-    import datetime as dt
-    import random
+    prompt/answer pairs over weighted formats — the seq2seq task fixture.
 
-    from pyspark.sql import types as T
+    Fully distributed: ``spark.range(n)`` + portable-hash-derived date and
+    format choices as column expressions (no driver-side row loop — the
+    previous form materialized all n rows on the driver, fine for a test
+    fixture but driver-bound for a big synthetic corpus). Format weights
+    keep the reference's 4:2:2:2:1:1 mix via hash-mod-12 thresholds; day
+    formats without leading zeros mirror the reference's lstrip (the month-
+    name formats render day-of-month unpadded)."""
+    from ..functions import textsql as X
 
-    fmts = ["%d/%m/%Y", "%Y-%m-%d", "%d %B %Y", "%B %d, %Y", "%d.%m.%Y",
-            "%d %b %Y"]
-    weights = [4, 2, 2, 2, 1, 1]
-    rows = []
-    for i in range(n):
-        rng = random.Random((seed << 20) ^ i)
-        d = dt.date(1990, 1, 1) + dt.timedelta(days=rng.randint(0, 15000))
-        f = rng.choices(fmts, weights)[0]
-        rows.append((i, prompt + d.strftime(f).lstrip("0").replace(" 0", " ")
-                     if f in ("%d %B %Y", "%d %b %Y") else prompt + d.strftime(f),
-                     d.isoformat()))
-    schema = T.StructType([
-        T.StructField("id", T.LongType(), False),
-        T.StructField("src_text", T.StringType(), False),
-        T.StructField("tgt_text", T.StringType(), False),
-    ])
-    return spark.createDataFrame(rows, schema)
+    hd = X.h64(f"concat('d', '{seed}', '#', cast(id as string))", "spark")
+    hf = X.h64(f"concat('f', '{seed}', '#', cast(id as string))", "spark")
+    fmt = """CASE
+      WHEN _w < 4 THEN date_format(_date, 'dd/MM/yyyy')
+      WHEN _w < 6 THEN date_format(_date, 'yyyy-MM-dd')
+      WHEN _w < 8 THEN date_format(_date, 'd MMMM yyyy')
+      WHEN _w < 10 THEN date_format(_date, 'MMMM dd, yyyy')
+      WHEN _w < 11 THEN date_format(_date, 'dd.MM.yyyy')
+      ELSE date_format(_date, 'd MMM yyyy') END"""
+    return (
+        spark.range(n)
+        .withColumn("_date", F.expr(
+            f"date_add(date'1990-01-01', cast({hd} % 15001 as int))"))
+        .withColumn("_w", F.expr(f"cast({hf} % 12 as int)"))
+        .select(
+            F.col("id"),
+            F.concat(F.lit(prompt), F.expr(fmt)).alias("src_text"),
+            F.expr("date_format(_date, 'yyyy-MM-dd')").alias("tgt_text"),
+        )
+    )

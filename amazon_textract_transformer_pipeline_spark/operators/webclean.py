@@ -39,13 +39,15 @@ def canonical_url_sql(url_expr: str, engine: str) -> str:
     scheme = f"lower({rx}({url_expr}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     auth = f"lower({rx}({url_expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
     # strip leading www. and default ports
+    # (www\.)+ not www\.: strip ALL leading repeats so the normal form is a
+    # fixed point — canon(canon(u)) == canon(u) (property-tested)
     if spark:
-        host = f"regexp_replace({auth}, '^www\\\\.', '')"
+        host = f"regexp_replace({auth}, '^(www\\\\.)+', '')"
         host = (f"CASE WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '') "
                 f"WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
                 f"ELSE {host} END")
     else:
-        host = f"regexp_replace({auth}, '^www\\.', '')"
+        host = f"regexp_replace({auth}, '^(www\\.)+', '')"
         host = (f"CASE WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '') "
                 f"WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
                 f"ELSE {host} END")
@@ -64,8 +66,16 @@ def canonical_url_sql(url_expr: str, engine: str) -> str:
         qtail = (f"CASE WHEN len({kept}) > 0 "
                  f"THEN concat('?', array_to_string({kept}, '&')) ELSE '' END")
     # no parseable scheme://authority → pass through untouched (garbage in,
-    # same garbage out beats inventing '://' artifacts)
-    return (f"CASE WHEN {scheme} = '' OR {auth} = '' THEN {url_expr} "
+    # same garbage out beats inventing '://' artifacts). Likewise authorities
+    # the simple host rules would MANGLE rather than normalize: userinfo
+    # (user:pass@host would be lowercased and www-stripped into the
+    # credential part) and bracketed IPv6 literals (whose :port handling
+    # differs) — both are vanishingly rare in a web corpus and wrong-to-
+    # guess, so they keep their original form (pinned in test_webclean).
+    like = "like" if spark else "LIKE"
+    hostile = f"{auth} {like} '%@%' OR {auth} {like} '%[%'"
+    return (f"CASE WHEN {scheme} = '' OR {auth} = '' OR {hostile} "
+            f"THEN {url_expr} "
             f"ELSE concat({scheme}, '://', {host}, {path}, {qtail}) END")
 
 
