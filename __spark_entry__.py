@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": Q.q_minhash_signature,
         "lsh_buckets": Q.q_lsh_buckets,
         "lsh_candidates": Q.q_lsh_candidates,
+        "near_duplicates": Q.q_near_duplicates,
         "ngram_jaccard_consecutive": Q.q_ngram_jaccard_consecutive,
         "simhash": Q.q_simhash,
         "simhash_hamming_consecutive": Q.q_simhash_hamming_consecutive,
@@ -169,6 +170,46 @@ SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM small l JOIN small r
   ON l.band_ix = r.band_ix AND l.band_hash = r.band_hash
   AND l.doc_id < r.doc_id""",
+        # LSH candidates verified by exact n-gram Jaccard (threshold 0 so
+        # every candidate's value is hash-checked, including 0.0 pairs)
+        "near_duplicates": f"""
+WITH sig AS MATERIALIZED (
+  SELECT doc_id,
+    {X.minhash_signature(X.shingles(dw, 3, 'duck'), 16, 'duck')} AS minhash
+  FROM documents
+),
+banded AS (
+  SELECT doc_id, {X.band_hashes('minhash', 8, 2, 'duck')} AS bands FROM sig
+),
+b AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(bands, 1) - 1 AS band_ix,
+         unnest(bands) AS band_hash
+  FROM banded
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band_ix, band_hash) AS sz FROM b
+),
+small AS (SELECT * FROM sized WHERE sz <= 1000),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM small l JOIN small r
+    ON l.band_ix = r.band_ix AND l.band_hash = r.band_hash
+    AND l.doc_id < r.doc_id
+),
+shd AS MATERIALIZED (
+  SELECT doc_id, list_distinct({X.shingles(dw, 3, 'duck')}) AS sh
+  FROM documents
+),
+scored AS (
+  SELECT c.a, c.b,
+         len(list_intersect(x.sh, y.sh))::DOUBLE /
+           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+           AS jac
+  FROM cands c
+  JOIN shd x ON x.doc_id = c.a
+  JOIN shd y ON y.doc_id = c.b
+)
+SELECT a, b, round(jac, 6) AS jaccard FROM scored WHERE jac >= 0.0""",
         # MATERIALIZED: DuckDB inlines CTEs textually; without it the
         # shingle expression recomputes 4x inside intersect/union (measured
         # ~20 s at sf0.01; ~4x faster materialized)

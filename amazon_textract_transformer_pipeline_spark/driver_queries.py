@@ -222,6 +222,15 @@ def q_lsh_candidates(spark, sf_dir) -> DataFrame:
         _docs(spark, sf_dir).select("doc_id", "text"), k=16, n_bands=8)
 
 
+def q_near_duplicates(spark, sf_dir) -> DataFrame:
+    """LSH candidates verified by exact n-gram Jaccard; threshold 0 keeps
+    every candidate pair so the gate hash-checks all Jaccard values."""
+    nd = dedup.near_duplicates(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        threshold=0.0, k=16, n_bands=8)
+    return nd.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_ngram_jaccard_consecutive(spark, sf_dir) -> DataFrame:
     d = _docs(spark, sf_dir)
     a = d.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))
