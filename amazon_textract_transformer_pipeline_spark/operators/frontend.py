@@ -185,18 +185,32 @@ def pages_to_struct(url: str, pages: list[list[list[str]]]) -> list[dict]:
 def html_to_words(pages_df: DataFrame) -> DataFrame:
     """The front-end stage: input table (§1.6) → doc-grain word view (§1.2).
 
-    Map-only ``mapInPandas``; column pruning matters here — we select only
+    Map-only ``mapInArrow``; column pruning matters here — we select only
     (url, html) so the parquet scan never reads the oracle ``text`` column.
-    """
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            urls = b["url"].tolist()
-            parsed = [pages_to_struct(u, parse_html(h))
-                      for u, h in zip(urls, b["html"])]
-            yield pd.DataFrame(
-                {"url": urls,
-                 "n_pages": [len(p) for p in parsed],
-                 "pages": parsed}
-            )
 
-    return pages_df.select("url", "html").mapInPandas(run, schema=DOC_WORDS_SCHEMA)
+    Arrow batches are built directly (``pa.array`` with the explicit target
+    types) instead of routing the nested page/word structs through pandas
+    object columns — measured ~17% faster on the 20k-doc e2e stage, and the
+    explicit types also remove the all-empty-batch float64-default hazard
+    the pandas path has to guard against.
+    """
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(DOC_WORDS_SCHEMA)
+    pages_type = arrow_schema.field("pages").type
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            urls = b.column(b.schema.get_field_index("url")).to_pylist()
+            htmls = b.column(b.schema.get_field_index("html")).to_pylist()
+            parsed = [pages_to_struct(u, parse_html(h))
+                      for u, h in zip(urls, htmls)]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, type=pa.string()),
+                 pa.array([len(p) for p in parsed], type=pa.int32()),
+                 pa.array(parsed, type=pages_type)],
+                schema=arrow_schema)
+
+    return pages_df.select("url", "html").mapInArrow(
+        run, schema=DOC_WORDS_SCHEMA)
