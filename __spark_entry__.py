@@ -106,7 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web-corpus cleaning (canonical urls, boilerplate-line removal)
         "canonical_urls": Q.q_canonical_urls,
         "boilerplate_lines": Q.q_boilerplate_lines,
-        # rows-only (non-SQL-expressible)
+        # exact-value via recursive-CTE / closed-form-spec oracles
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
         "multimodal_metadata": Q.q_multimodal_metadata,
