@@ -145,7 +145,7 @@ def scaling_evidence(n_docs: int) -> dict:
     for cores in SCALING_CORES:
         out = subprocess.run(
             [sys.executable, __file__, "--extract-only", str(cores), str(n_docs)],
-            capture_output=True, text=True, timeout=1200, check=True,
+            capture_output=True, text=True, timeout=2400, check=True,
         )
         results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
         log(f"scaling: {cores} cores -> {results[cores]}")

@@ -144,3 +144,35 @@ def test_sync_api_json_without_page_numbers(spark):
     assert r.n_pages == 1
     assert r.pages[0]["page_num"] == 1
     assert [w["text"] for w in r.pages[0]["words"]] == ["hello", "world"]
+
+
+def test_trp_accessors(spark, doc_words):
+    """block_index / get_block_by_id / page_blocks — the relational
+    getBlockById + page.blocks conveniences (inference.py:100-130)."""
+    from amazon_textract_transformer_pipeline_spark.operators.blocks import (
+        block_index,
+        get_block_by_id,
+        page_blocks,
+        words_to_blocks,
+    )
+
+    tb = words_to_blocks(doc_words)
+    ix = block_index(tb).cache()
+    # every block id unique within its doc; types partition the rows
+    n = ix.count()
+    assert ix.select("url", "block_id").distinct().count() == n
+    types = {r.block_type for r in ix.select("block_type").distinct().collect()}
+    assert types == {"PAGE", "LINE", "WORD"}
+
+    # point lookup returns the same struct the index row carries
+    some = ix.filter("block_type = 'WORD'").limit(1).collect()[0]
+    blk = get_block_by_id(tb, some.url, some.block_id)
+    assert blk is not None and blk.Id == some.block_id and blk.Text is not None
+    assert get_block_by_id(tb, some.url, "no-such-id") is None
+
+    # page_blocks: per (url, page) slice, original block order, PAGE first
+    pb = {(r.url, r.page_num): r.Blocks for r in page_blocks(tb).collect()}
+    assert all(bs[0].BlockType == "PAGE" for bs in pb.values())
+    # reassembling all pages recovers every block of the doc
+    total = sum(len(bs) for bs in pb.values())
+    assert total == n
