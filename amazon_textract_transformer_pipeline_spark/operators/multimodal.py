@@ -6,12 +6,12 @@ reference's page-image path, ``image_utils.py:171-655`` / thumbnail
 preproc ``preproc.py:70-173``, follows exactly this shape with PIL under a
 SageMaker endpoint).
 
-This container has no image/audio codecs, so **real decode is stubbed**
-(:func:`decode_image` raises ``NotImplementedError`` unless PIL is
-importable) while everything Spark-side — schema, batch shape, partition
-sizing, UDF signatures — is real and tested against a deterministic fake
-codec (FAKE1 header format below). Swapping in PIL/ffmpeg changes only the
-inner per-batch function.
+Real decode (round 3): ``functions/codecs.py`` implements PNG/BMP/PPM/PGM
+from the public specs with stdlib zlib + numpy, so :func:`decode_image`
+runs for real in this codec-less sandbox via :func:`auto_decode_fn`
+(FAKE1 → fake codec, png/bmp/ppm/pgm → built-in, jpeg/gif/tiff → PIL when
+importable, else the per-record ``error`` column). The deterministic FAKE1
+container below remains the oracle-friendly fixture format.
 """
 
 from __future__ import annotations
@@ -326,19 +326,33 @@ def pil_decode_fn(blob: bytes):
     return np.asarray(img.convert("RGB")), orientation
 
 
-def decode_image(media: DataFrame, size: tuple[int, int] = (224, 224)) -> DataFrame:
-    """Real image decode + letterbox-resize to ``size`` (the reference's
-    thumbnailer, image_utils.py:83-168 / preproc.py:38-42). The PIL seam is
-    the only gated piece; rotation/resize run the tested numpy kernels."""
+def auto_decode_fn(blob: bytes):
+    """Dispatching codec seam: FAKE1 fixtures → :func:`fake_decode_array`;
+    png/bmp/ppm/pgm → the zero-dependency built-in codecs
+    (functions/codecs.py); everything else → PIL when importable. Failures
+    raise ValueError, which :func:`thumbnail_images` turns into the
+    per-record ``error`` column — one bad blob never fails the stage."""
+    from ..functions import codecs
+
+    blob = bytes(blob)
+    if blob[:len(_MAGIC)] == _MAGIC:
+        return fake_decode_array(blob)
+    if codecs.sniff_format(blob) in ("png", "bmp", "ppm", "pgm"):
+        return codecs.builtin_decode_fn(blob)
     try:
         import PIL.Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover — no codecs in this sandbox
-        raise NotImplementedError(
-            "decode_image needs Pillow; this environment ships no image "
-            "codecs. Use decode_metadata/extract_features (codec-free) or "
-            "install Pillow on the cluster."
-        ) from e
-    return thumbnail_images(media, size=size, decode_fn=pil_decode_fn)
+    except ImportError:
+        return codecs.builtin_decode_fn(blob)  # raises the clear ValueError
+    return pil_decode_fn(blob)
+
+
+def decode_image(media: DataFrame, size: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Real image decode + letterbox-resize to ``size`` (the reference's
+    thumbnailer, image_utils.py:83-168 / preproc.py:38-42). PNG/BMP/PPM/PGM
+    decode via the built-in pure-numpy codecs (functions/codecs.py) with no
+    native deps; jpeg/gif/tiff use PIL when installed, else land in the
+    ``error`` column per record."""
+    return thumbnail_images(media, size=size, decode_fn=auto_decode_fn)
 
 
 def blank_thumbnail(size: tuple[int, int] = (224, 224),

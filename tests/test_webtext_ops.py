@@ -229,8 +229,11 @@ def test_multimodal_plumbing(spark):
     assert ex.count() == 200
     assert ex.groupBy("media_id").count().filter("count <> 4").count() == 0
 
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
+    # round 3: decode_image no longer needs PIL — auto_decode_fn routes
+    # FAKE1 fixtures to the fake codec and png/bmp/ppm to functions/codecs
+    thumbs = decode_image(media.limit(5), size=(16, 16)).collect()
+    assert len(thumbs) == 5 and all(t.error is None for t in thumbs)
+    assert all((t.width, t.height) == (16, 16) for t in thumbs)
 
 
 def test_multimodal_determinism(spark):
