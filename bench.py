@@ -139,15 +139,42 @@ def scaling_evidence(n_docs: int) -> dict:
     """Identical job at local[N] vs local[4N], one clean JVM per run
     (sequential sessions in one process share the gateway JVM and
     cross-contaminate — measured 4× noise)."""
+    import signal
     import subprocess
+
+    def run_once(cores: int, timeout_s: int) -> dict:
+        # own process group so a timeout kills the whole Spark tree (the
+        # JVM is a grandchild — plain subprocess kill leaks it)
+        proc = subprocess.Popen(
+            [sys.executable, __file__, "--extract-only", str(cores), str(n_docs)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            start_new_session=True,
+        )
+        try:
+            out, _ = proc.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.wait()
+            raise
+        if proc.returncode != 0:
+            raise subprocess.CalledProcessError(proc.returncode, proc.args)
+        return json.loads(out.strip().splitlines()[-1])
 
     results = {}
     for cores in SCALING_CORES:
-        out = subprocess.run(
-            [sys.executable, __file__, "--extract-only", str(cores), str(n_docs)],
-            capture_output=True, text=True, timeout=2400, check=True,
-        )
-        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        # The Arrow-socket handshake between a task thread and its python
+        # worker deadlocks rarely but permanently (both sides observed
+        # blocked in tcp_sendmsg/epoll on an idle box) — a hung run tells
+        # us nothing about throughput, so kill the tree and re-measure.
+        for attempt in (1, 2, 3):
+            try:
+                results[cores] = run_once(cores, timeout_s=900)
+                break
+            except subprocess.TimeoutExpired:
+                log(f"scaling: {cores} cores attempt {attempt} hung >900s "
+                    "(worker-socket deadlock), retrying in a fresh tree")
+        else:
+            raise RuntimeError(f"scaling run at {cores} cores hung 3×")
         log(f"scaling: {cores} cores -> {results[cores]}")
     n, n4 = SCALING_CORES
     eff = (results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]) / 4.0
@@ -202,13 +229,13 @@ e2e runs, report the best. This invocation:
   (all runs this invocation: {headline.get('runs_sec')} s)
 - per-query timings (s): {json.dumps(headline['queries'])}
 
-**Committed headline: 1780-2300 docs/sec** — the band three full
+**Committed headline: 1780-2830 docs/sec** — the band four full
 cold-start protocol invocations reproduced on round-3 code (best walls
-8.712 / 8.763 / 11.238 s for 20000 docs at sf0.1; the conservative low end
-is what any single driver invocation should at least reproduce under
-co-tenant contention). Per the round-2 verdict the committed number is the
-one the driver's own protocol reproduces, not a warm best-case; the
-three-invocation spread IS the stated noise envelope.
+7.070 / 8.712 / 8.763 / 11.238 s for 20000 docs at sf0.1; the conservative
+low end is what any single driver invocation should at least reproduce
+under co-tenant contention). Per the round-2 verdict the committed number
+is the one the driver's own protocol reproduces, not a warm best-case; the
+four-invocation spread IS the stated noise envelope.
 
 Reference baseline: the reference architecture is bounded at O(1-10)
 docs/sec per deployment (90-job Textract concurrency cap — BASELINE.md);

@@ -190,3 +190,42 @@ def test_ubox_aggregate_contains_all(boxes):
     for b in ubs:
         assert agg.top <= b.top + eps and agg.left <= b.left + eps
         assert agg.bottom >= b.bottom - eps and agg.right >= b.right - eps
+
+
+# --------------------------------------------------------------------------
+# image codecs (functions/codecs.py): encode→decode is the identity for
+# opaque pixels, any shape, any PNG filter choice
+# --------------------------------------------------------------------------
+
+_img_shape = st.tuples(st.integers(1, 17), st.integers(1, 17))
+
+
+@given(_img_shape, st.sampled_from([0, 1, 2, 3, 4, "mixed"]),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(shape, ftype, seed):
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_spark.functions import codecs
+
+    h, w = shape
+    rng = np.random.Generator(np.random.PCG64(seed))
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out, orient = codecs.decode_png(codecs.encode_png(arr, filter_type=ftype))
+    assert orient is None
+    assert (out == arr).all()
+
+
+@given(_img_shape, st.booleans(), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_bmp_ppm_roundtrip_property(shape, top_down, seed):
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_spark.functions import codecs
+
+    h, w = shape
+    rng = np.random.Generator(np.random.PCG64(seed))
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    b, _ = codecs.decode_bmp(codecs.encode_bmp(arr, top_down=top_down))
+    p, _ = codecs.decode_ppm(codecs.encode_ppm(arr))
+    assert (b == arr).all() and (p == arr).all()

@@ -1,0 +1,84 @@
+"""WARC source (sources/warc.py): record walking, envelope stripping,
+date parsing, and the end-to-end Common-Crawl-shaped path — fixture
+.warc.gz → read_warc → extraction pipeline → byte-identical text."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from amazon_textract_transformer_pipeline_spark.sources import synthetic_pages_df
+from amazon_textract_transformer_pipeline_spark.sources.warc import (
+    iter_warc_records,
+    parse_warc_date,
+    read_warc,
+    records_to_page_rows,
+    strip_http_envelope,
+    write_warc_gz,
+)
+
+
+def test_warc_record_walk_and_resync():
+    good = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"WARC-Target-URI: http://a/\r\nContent-Length: 5\r\n\r\n"
+            b"hello\r\n\r\n")
+    # middle record lies about its length -> reader resyncs on next magic
+    bad = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+           b"WARC-Target-URI: http://b/\r\nContent-Length: oops\r\n\r\n"
+           b"junkjunk\r\n\r\n")
+    tail = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"WARC-Target-URI: http://c/\r\nContent-Length: 3\r\n\r\n"
+            b"bye\r\n\r\n")
+    recs = list(iter_warc_records(good + bad + tail))
+    assert [r[0]["warc-target-uri"] for r in recs] == \
+        ["http://a/", "http://b/", "http://c/"]
+    assert recs[0][1] == b"hello" and recs[2][1] == b"bye"
+
+    rows = list(records_to_page_rows(good + bad + tail))
+    assert [r["url"] for r in rows] == ["http://a/", "http://b/", "http://c/"]
+
+
+def test_http_envelope_and_date():
+    body = b"HTTP/1.1 200 OK\r\nX: y\r\n\r\n<html>hi</html>"
+    assert strip_http_envelope(body) == b"<html>hi</html>"
+    raw = b"<html>raw resource</html>"
+    assert strip_http_envelope(raw) == raw  # resource records pass through
+
+    assert parse_warc_date("2026-01-15T10:00:00Z") == datetime(2026, 1, 15, 10)
+    assert parse_warc_date("2026-01-15T12:00:00+02:00") == \
+        datetime(2026, 1, 15, 10)  # normalized to UTC, tz-naive
+    assert parse_warc_date("not-a-date") is None
+    assert parse_warc_date(None) is None
+
+
+def test_read_warc_end_to_end_byte_identical(spark, tmp_path):
+    """Synthetic pages → member-per-record .warc.gz fixtures (2 archives,
+    interleaved warcinfo/request records) → read_warc → extraction →
+    extracted_text byte-identical to the synthetic oracle text."""
+    from amazon_textract_transformer_pipeline_spark.operators.assembly import (
+        assemble_text,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.frontend import (
+        html_to_words,
+    )
+
+    src = synthetic_pages_df(spark, 24, seed=11).collect()
+    half = len(src) // 2
+    for ix, chunk in enumerate((src[:half], src[half:])):
+        write_warc_gz(
+            str(tmp_path / f"part-{ix}.warc.gz"),
+            [{"url": r.url, "date": r.warc_ts or datetime(2026, 1, 15),
+              "html": bytes(r.html)} for r in chunk],
+        )
+
+    pages = read_warc(spark, str(tmp_path))
+    got = pages.select("url", "warc_ts", "html").collect()
+    assert len(got) == len(src)  # request/warcinfo records filtered out
+    by_url = {r.url: r for r in got}
+    sample = src[0]
+    assert bytes(by_url[sample.url].html) == bytes(sample.html)
+
+    out = assemble_text(html_to_words(pages)).join(
+        spark.createDataFrame([(r.url, r.text) for r in src],
+                              "url: string, text: string"), "url")
+    assert out.count() == len(src)
+    assert out.filter("extracted_text <> text").count() == 0
