@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_group_minmax": Q.q_o1_group_minmax,
         "top1_per_group": Q.q_top1_per_group,
         "noisy_or_events": Q.q_noisy_or_events,
+        # windowed analytics (tumbling rollup + gap sessionization, §2.12)
+        "tumbling_windows": Q.q_tumbling_windows,
+        "session_windows": Q.q_session_windows,
         "s4_pagination_merge": Q.q_s4_pagination_merge,
         "train_test_split": Q.q_train_test_split,
         # SMGT extended custom-task form → seq2seq examples
@@ -306,6 +309,29 @@ SELECT user_id, event_type,
        round(1 - exp(sum(ln(1 - conf))), 6) AS noisy_or,
        count(*) AS n
 FROM c GROUP BY user_id, event_type""",
+        "tumbling_windows": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2""",
+        "session_windows": """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid""",
         "s4_pagination_merge": """
 SELECT user_id, count(*) AS n_events,
        string_agg(cast(event_id AS varchar), ','

@@ -495,3 +495,37 @@ def q_g4_box_merge(spark, sf_dir) -> DataFrame:
 def q_multimodal_metadata(spark, sf_dir) -> DataFrame:
     return decode_metadata(synth_media_df(spark, 200)).select(
         "media_id", "width", "height", "format", "n_bytes", "valid")
+
+
+def q_tumbling_windows(spark, sf_dir) -> DataFrame:
+    """Tumbling-window rollup (1-hour bucket × event_type): the batch twin
+    of streaming/arrivals.arrival_metrics_stream and the hypertable-rollup
+    shape. One shuffle on (bucket, type); partial aggregation map-side."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"),
+             F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value", "n_users")
+    )
+
+
+def q_session_windows(spark, sf_dir) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap per user) via
+    ``session_window`` — Spark's native merging-session aggregate; one
+    shuffle on user_id. ``session_window.end`` is last_event + gap, so the
+    last-event timestamp is recovered by subtracting the gap (keeps the
+    DuckDB oracle a pure min/max over lag-derived session ids)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                (F.col("w.end") - F.expr("INTERVAL 30 MINUTES")
+                 ).alias("session_last"),
+                "n_events", "sum_value")
+    )
