@@ -16,12 +16,16 @@ numpy:
 - **BMP** (BITMAPINFOHEADER): uncompressed BI_RGB 24/32-bit, bottom-up or
   top-down, 4-byte row padding.
 - **PPM/PGM** binary (``P6``/``P5``, maxval ≤ 255, comment-tolerant).
+- **TIFF** (TIFF 6.0, incl. **multi-frame** via the IFD chain — the D3
+  page-split container): 8-bit strips, gray/RGB/palette photometrics,
+  Compression none/LZW(+Predictor 2)/PackBits, Orientation tag.
 
 Matching encoders (:func:`encode_png`, :func:`encode_bmp`,
-:func:`encode_ppm`) exist so tests roundtrip real containers end-to-end
-and synthetic corpora can carry real-format payloads. JPEG/GIF/TIFF remain
-behind the PIL seam (``operators/multimodal.pil_decode_fn``) — entropy
-coding from scratch is out of scope and the seam is documented.
+:func:`encode_ppm`, :func:`encode_tiff`) exist so tests roundtrip real
+containers end-to-end and synthetic corpora can carry real-format
+payloads. JPEG/GIF remain behind the PIL seam
+(``operators/multimodal.pil_decode_fn``) — DCT/GIF-LZW entropy coding
+from scratch is out of scope and the seam is documented.
 
 Decode cost note (100 TB): filters 0/1/2 are fully vectorized (copy,
 per-lane cumsum mod 256, vectorized up-add); filters 3/4 (average/Paeth)
@@ -406,7 +410,8 @@ def encode_ppm(arr: np.ndarray, comment: str | None = None) -> bytes:
 # --------------------------------------------------------------------------
 
 _DECODERS = {"png": decode_png, "bmp": decode_bmp,
-             "ppm": decode_ppm, "pgm": decode_ppm}
+             "ppm": decode_ppm, "pgm": decode_ppm,
+             "tiff": lambda blob: decode_tiff(blob)}  # defined below
 
 
 def builtin_decode_fn(blob: bytes) -> tuple[np.ndarray, int | None]:
@@ -420,5 +425,344 @@ def builtin_decode_fn(blob: bytes) -> tuple[np.ndarray, int | None]:
     if dec is None:
         raise ValueError(
             f"builtin_decode_fn: format {fmt or 'unknown'} needs a native "
-            "codec (PIL seam) — supported here: png/bmp/ppm/pgm")
+            "codec (PIL seam) — supported here: png/bmp/ppm/pgm/tiff")
     return dec(bytes(blob))
+
+
+# --------------------------------------------------------------------------
+# TIFF (multi-frame; uncompressed / PackBits / LZW)
+# --------------------------------------------------------------------------
+#
+# The reference's D3 operator walks TIFF frames with PIL `seek(i)`
+# (image_utils.py:510-558); a TIFF file is a linked list of IFDs, one per
+# frame, so the native walk is the IFD chain. Supported: 8-bit samples,
+# PhotometricInterpretation 0/1 (gray, incl. white-is-zero), 2 (RGB),
+# 3 (palette via ColorMap), chunky planar config, strip layout,
+# Compression 1 (none), 5 (LZW, with horizontal Predictor 2), 32773
+# (PackBits), and the Orientation tag (the D4 input). Tiled TIFFs and
+# 16-bit samples stay on the PIL seam.
+
+_TIFF_TAG_WIDTH = 256
+_TIFF_TAG_LENGTH = 257
+_TIFF_TAG_BITS = 258
+_TIFF_TAG_COMPRESSION = 259
+_TIFF_TAG_PHOTOMETRIC = 262
+_TIFF_TAG_STRIP_OFFSETS = 273
+_TIFF_TAG_ORIENTATION = 274
+_TIFF_TAG_SAMPLES = 277
+_TIFF_TAG_ROWS_PER_STRIP = 278
+_TIFF_TAG_STRIP_COUNTS = 279
+_TIFF_TAG_PLANAR = 284
+_TIFF_TAG_PREDICTOR = 317
+_TIFF_TAG_COLORMAP = 320
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4}
+
+
+def _tiff_read_ifd(blob: bytes, e: str, off: int) -> tuple[dict, int]:
+    """One IFD → ({tag: [values]}, next_ifd_offset)."""
+    (n,) = struct.unpack_from(e + "H", blob, off)
+    tags: dict[int, list] = {}
+    for i in range(n):
+        base = off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", blob, base)
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        if total <= 4:
+            src = base + 8
+        else:
+            (src,) = struct.unpack_from(e + "I", blob, base + 8)
+        fmt = {1: "B", 2: "b", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h",
+               9: "i"}[typ]
+        tags[tag] = list(struct.unpack_from(e + str(cnt) + fmt, blob, src))
+    (nxt,) = struct.unpack_from(e + "I", blob, off + 2 + 12 * n)
+    return tags, nxt
+
+
+def packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (Apple RLE): n>=0 → copy n+1 literal bytes; n in
+    [-127,-1] → repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:
+            if i < n:
+                out += bytes([data[i]]) * (257 - h)
+                i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first variable-width codes
+    starting at 9 bits, ClearCode=256, EOI=257, early-change code-width
+    bump (at table size 511/1023/2047)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) in (511, 1023, 2047):  # early change
+                width += 1
+    return bytes(out)
+
+
+def _tiff_decode_ifd(blob: bytes, e: str, tags: dict) -> tuple[np.ndarray,
+                                                               int | None]:
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w = one(_TIFF_TAG_WIDTH)
+    h = one(_TIFF_TAG_LENGTH)
+    if not w or not h:
+        raise ValueError("TIFF: missing dimensions")
+    spp = one(_TIFF_TAG_SAMPLES, 1)
+    bits = tags.get(_TIFF_TAG_BITS, [8])
+    if any(b != 8 for b in bits):
+        raise ValueError(f"TIFF: {bits}-bit samples not supported (8 only)")
+    if one(_TIFF_TAG_PLANAR, 1) != 1:
+        raise ValueError("TIFF: planar config 2 not supported")
+    comp = one(_TIFF_TAG_COMPRESSION, 1)
+    photo = one(_TIFF_TAG_PHOTOMETRIC, 1)
+    offsets = tags.get(_TIFF_TAG_STRIP_OFFSETS)
+    counts = tags.get(_TIFF_TAG_STRIP_COUNTS)
+    if not offsets or not counts:
+        raise ValueError("TIFF: tiled or stripless file not supported")
+    raw = bytearray()
+    for o, c in zip(offsets, counts):
+        strip = blob[o:o + c]
+        if comp == 1:
+            raw += strip
+        elif comp == 5:
+            raw += tiff_lzw_decode(strip)
+        elif comp == 32773:
+            raw += packbits_decode(strip)
+        else:
+            raise ValueError(f"TIFF: compression {comp} not supported "
+                             "(none/LZW/PackBits only)")
+    need = w * h * spp
+    if len(raw) < need:
+        raise ValueError("TIFF: truncated pixel data")
+    px = np.frombuffer(bytes(raw), dtype=np.uint8, count=need) \
+        .reshape(h, w, spp).copy()
+    if comp == 5 and one(_TIFF_TAG_PREDICTOR, 1) == 2:
+        # horizontal differencing: undo with per-row cumulative sum
+        px = (np.cumsum(px.astype(np.uint64), axis=1) & 0xFF).astype(np.uint8)
+    orientation = one(_TIFF_TAG_ORIENTATION)
+
+    if photo == 2:
+        if spp < 3:
+            raise ValueError("TIFF: RGB photometric with <3 samples")
+        rgb = px[:, :, :3]
+    elif photo in (0, 1):
+        g = px[:, :, :1]
+        if photo == 0:  # WhiteIsZero
+            g = 255 - g
+        rgb = np.repeat(g, 3, axis=2)
+    elif photo == 3:
+        cmap = tags.get(_TIFF_TAG_COLORMAP)
+        if not cmap or len(cmap) % 3:
+            raise ValueError("TIFF: palette image without ColorMap")
+        ncol = len(cmap) // 3
+        # ColorMap is 16-bit per channel, all reds then greens then blues
+        lut = (np.asarray(cmap, dtype=np.uint32)
+               .reshape(3, ncol).T >> 8).astype(np.uint8)
+        ix = px[:, :, 0]
+        if ix.max(initial=0) >= ncol:
+            raise ValueError("TIFF: palette index out of range")
+        rgb = lut[ix]
+    else:
+        raise ValueError(f"TIFF: photometric {photo} not supported")
+    return np.ascontiguousarray(rgb), orientation
+
+
+def decode_tiff_frames(blob: bytes) -> list[tuple[np.ndarray, int | None]]:
+    """All frames of a (possibly multi-frame) TIFF, in IFD-chain order —
+    the D3 multi-frame walk, natively."""
+    if blob[:4] == b"II*\x00":
+        e = "<"
+    elif blob[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("TIFF: bad header")
+    (off,) = struct.unpack_from(e + "I", blob, 4)
+    frames = []
+    seen = set()
+    while off and off not in seen and off + 2 <= len(blob):
+        seen.add(off)  # cycle guard
+        tags, off = _tiff_read_ifd(blob, e, off)
+        frames.append(_tiff_decode_ifd(blob, e, tags))
+    if not frames:
+        raise ValueError("TIFF: no IFDs")
+    return frames
+
+
+def decode_tiff(blob: bytes) -> tuple[np.ndarray, int | None]:
+    """First frame only (single-image contract of the codec seam)."""
+    return decode_tiff_frames(blob)[0]
+
+
+def count_frames(blob: bytes) -> int:
+    """Frame count: TIFF → IFD-chain length, everything else 1 (the D3
+    'single images pass through' rule)."""
+    if sniff_format(blob) == "tiff":
+        return len(decode_tiff_frames(blob))
+    return 1
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (inverse of :func:`tiff_lzw_decode`)."""
+    out_bits = []
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+
+    def emit(code):
+        out_bits.append((code, width))
+
+    emit(256)  # Clear
+    s = b""
+    for b in data:
+        c = bytes([b])
+        if s + c in table:
+            s += c
+        else:
+            emit(table[s])
+            table[s + c] = nxt
+            nxt += 1
+            # early change: encoder bumps one code earlier than the
+            # table fills, mirroring the decoder's 511/1023/2047 bump
+            if nxt in (512, 1024, 2048):
+                width += 1
+            if nxt == 4094:
+                emit(256)
+                table = {bytes([i]): i for i in range(256)}
+                nxt = 258
+                width = 9
+            s = c
+    if s:
+        emit(table[s])
+    emit(257)  # EOI
+    buf = 0
+    nbits = 0
+    out = bytearray()
+    for code, wd in out_bits:
+        buf = (buf << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Literal-only PackBits (valid, if not maximally compact)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i:i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
+def encode_tiff(frames, compression: int = 1,
+                orientation: int | None = None,
+                predictor: int = 1) -> bytes:
+    """Multi-frame little-endian TIFF writer for tests/fixtures.
+    ``frames``: list of (h, w, 3) uint8 RGB arrays (or (h, w) gray);
+    ``compression``: 1 none, 5 LZW, 32773 PackBits; ``predictor`` 2 adds
+    horizontal differencing (LZW only, per TIFF 6.0 §14)."""
+    body = bytearray(b"II*\x00\x00\x00\x00\x00")  # ifd0 offset patched below
+    ifd_offsets = []
+    for fi, arr in enumerate(frames):
+        arr = np.ascontiguousarray(arr, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, spp = arr.shape
+        photo = 2 if spp == 3 else 1
+        if compression == 5 and predictor == 2:
+            d = arr.astype(np.int16)
+            d[:, 1:] -= arr[:, :-1].astype(np.int16)
+            raw = (d & 0xFF).astype(np.uint8).tobytes()
+        else:
+            raw = arr.tobytes()
+        if compression == 5:
+            strip = tiff_lzw_encode(raw)
+        elif compression == 32773:
+            strip = packbits_encode(raw)
+        else:
+            strip = raw
+        strip_off = len(body)
+        body += strip
+        if len(body) % 2:
+            body += b"\x00"
+        entries = [
+            (_TIFF_TAG_WIDTH, 4, 1, w),
+            (_TIFF_TAG_LENGTH, 4, 1, h),
+            (_TIFF_TAG_BITS, 3, 1, 8) if spp == 1 else None,
+            (_TIFF_TAG_COMPRESSION, 3, 1, compression),
+            (_TIFF_TAG_PHOTOMETRIC, 3, 1, photo),
+            (_TIFF_TAG_STRIP_OFFSETS, 4, 1, strip_off),
+            (_TIFF_TAG_SAMPLES, 3, 1, spp),
+            (_TIFF_TAG_ROWS_PER_STRIP, 4, 1, h),
+            (_TIFF_TAG_STRIP_COUNTS, 4, 1, len(strip)),
+        ]
+        if spp == 3:
+            # BitsPerSample [8,8,8] needs external storage (3×2 = 6 > 4)
+            bits_off = len(body)
+            body += struct.pack("<3H", 8, 8, 8)
+            entries[2] = (_TIFF_TAG_BITS, 3, 3, bits_off)
+        if compression == 5 and predictor == 2:
+            entries.append((_TIFF_TAG_PREDICTOR, 3, 1, 2))
+        if orientation is not None and fi == 0:
+            entries.append((_TIFF_TAG_ORIENTATION, 3, 1, orientation))
+        entries = sorted(e for e in entries if e)
+        ifd_off = len(body)
+        ifd_offsets.append(ifd_off)
+        body += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            body += struct.pack("<HHI", tag, typ, cnt)
+            body += struct.pack("<I", val) if typ == 4 else \
+                struct.pack("<HH", val, 0)
+        body += b"\x00\x00\x00\x00"  # next-IFD, linked below
+    struct.pack_into("<I", body, 4, ifd_offsets[0])
+    for prev, nxt in zip(ifd_offsets, ifd_offsets[1:]):
+        # next-IFD pointer sits after the entry table of the previous IFD
+        (n,) = struct.unpack_from("<H", body, prev)
+        struct.pack_into("<I", body, prev + 2 + 12 * n, nxt)
+    return bytes(body)

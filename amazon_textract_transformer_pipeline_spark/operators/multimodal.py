@@ -328,7 +328,7 @@ def pil_decode_fn(blob: bytes):
 
 def auto_decode_fn(blob: bytes):
     """Dispatching codec seam: FAKE1 fixtures → :func:`fake_decode_array`;
-    png/bmp/ppm/pgm → the zero-dependency built-in codecs
+    png/bmp/ppm/pgm/tiff → the zero-dependency built-in codecs
     (functions/codecs.py); everything else → PIL when importable. Failures
     raise ValueError, which :func:`thumbnail_images` turns into the
     per-record ``error`` column — one bad blob never fails the stage."""
@@ -337,13 +337,63 @@ def auto_decode_fn(blob: bytes):
     blob = bytes(blob)
     if blob[:len(_MAGIC)] == _MAGIC:
         return fake_decode_array(blob)
-    if codecs.sniff_format(blob) in ("png", "bmp", "ppm", "pgm"):
+    if codecs.sniff_format(blob) in ("png", "bmp", "ppm", "pgm", "tiff"):
         return codecs.builtin_decode_fn(blob)
     try:
         import PIL.Image  # noqa: F401
     except ImportError:
         return codecs.builtin_decode_fn(blob)  # raises the clear ValueError
     return pil_decode_fn(blob)
+
+
+def multiframe_thumbnails(media: DataFrame, size=(224, 224),
+                          letterbox_color=(128, 128, 128),
+                          default_square: bool = True,
+                          max_size: int | None = None) -> DataFrame:
+    """D3 for real containers: walk EVERY frame of each blob (TIFF IFD
+    chain via the built-in codec — the reference's PIL ``seek(i)`` loop,
+    image_utils.py:510-558; single-frame formats pass through as frame 0)
+    then run the D4+D5 rotate/resize kernels per frame. Emits
+    THUMBNAIL_SCHEMA rows with the in-container ``frame_ix``, which is what
+    keys the npz bundle's ``frame_NNNN`` ordering."""
+    from ..functions import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, blob in zip(b["media_id"], b["blob"]):
+                blob = bytes(blob)
+                try:
+                    if codecs.sniff_format(blob) == "tiff":
+                        frames = codecs.decode_tiff_frames(blob)
+                    else:
+                        frames = [auto_decode_fn(blob)]
+                    for fix, (arr, orient) in enumerate(frames):
+                        arr, angle = apply_exif_rotation_array(arr, orient)
+                        ih, iw = arr.shape[:2]
+                        w, h = resize_plan(iw, ih, size, default_square,
+                                           max_size)
+                        if letterbox_color is not None:
+                            out = letterbox_array(arr, w, h, letterbox_color)
+                        else:
+                            out = stretch_resize_array(arr, w, h)
+                        rows.append({"media_id": int(mid), "frame_ix": fix,
+                                     "width": int(out.shape[1]),
+                                     "height": int(out.shape[0]),
+                                     "rotation_applied": angle,
+                                     "pixels": out.astype(np.uint8).tobytes(),
+                                     "error": None})
+                except Exception as e:
+                    rows.append({"media_id": int(mid), "frame_ix": 0,
+                                 "width": 0, "height": 0,
+                                 "rotation_applied": 0, "pixels": b"",
+                                 "error": str(e)})
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in
+                                                  THUMBNAIL_SCHEMA])
+
+    return media.select("media_id", "blob").mapInPandas(
+        run, schema=THUMBNAIL_SCHEMA)
 
 
 def decode_image(media: DataFrame, size: tuple[int, int] = (224, 224)) -> DataFrame:

@@ -198,3 +198,91 @@ def test_decode_image_real_formats_no_pil(spark):
     assert bytes(got[2].pixels) != bytes(got[0].pixels)
     # unsupported format reports, never raises
     assert got[4].error is not None and "jpeg" in got[4].error
+
+
+# --------------------------------------------------------------------------
+# TIFF (multi-frame, compressions, predictor, photometrics)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("comp", [1, 5, 32773])
+def test_tiff_multiframe_roundtrip(comp):
+    frames = [_rgb(9, 7, seed=comp), _rgb(4, 11, seed=comp + 1)]
+    blob = codecs.encode_tiff(frames, compression=comp)
+    got = codecs.decode_tiff_frames(blob)
+    assert len(got) == 2
+    for (out, orient), want in zip(got, frames):
+        np.testing.assert_array_equal(out, want)
+        assert orient is None
+    assert codecs.count_frames(blob) == 2
+    assert codecs.count_frames(codecs.encode_png(frames[0])) == 1
+
+
+def test_tiff_lzw_predictor2_roundtrip():
+    arr = _rgb(13, 21, seed=40)
+    blob = codecs.encode_tiff([arr], compression=5, predictor=2)
+    out, _ = codecs.decode_tiff(blob)
+    np.testing.assert_array_equal(out, arr)
+    # predictor-2 LZW compresses a smooth gradient better than predictor-1
+    grad = np.tile(np.arange(200, dtype=np.uint8), (20, 3, 1)) \
+        .transpose(0, 2, 1)
+    p1 = codecs.encode_tiff([grad], compression=5, predictor=1)
+    p2 = codecs.encode_tiff([grad], compression=5, predictor=2)
+    assert len(p2) < len(p1)
+
+
+def test_tiff_gray_orientation_and_lzw_stream():
+    g = _rng(41).integers(0, 256, size=(6, 5), dtype=np.uint8)
+    out, orient = codecs.decode_tiff(
+        codecs.encode_tiff([g], compression=5, orientation=8))
+    np.testing.assert_array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+    assert orient == 8
+    # LZW encode/decode as a pair on raw bytes (incl. table growth)
+    data = bytes(_rng(42).integers(0, 8, size=9000, dtype=np.uint8))
+    assert codecs.tiff_lzw_decode(codecs.tiff_lzw_encode(data)) == data
+    assert codecs.packbits_decode(codecs.packbits_encode(data)) == data
+
+
+def test_tiff_unsupported_variants():
+    arr = _rgb(4, 4, seed=43)
+    blob = bytearray(codecs.encode_tiff([arr]))
+    # flip compression tag to JPEG-in-TIFF (7): unsupported
+    import struct
+    ix = bytes(blob).find(struct.pack("<HHI", 259, 3, 1))
+    struct.pack_into("<H", blob, ix + 8, 7)
+    with pytest.raises(ValueError, match="compression 7"):
+        codecs.decode_tiff(bytes(blob))
+    with pytest.raises(ValueError, match="bad header"):
+        codecs.decode_tiff(b"II+\x00nope")
+
+
+def test_multiframe_thumbnails_spark(spark):
+    from amazon_textract_transformer_pipeline_spark.operators.multimodal import (
+        multiframe_thumbnails,
+        thumbnail_npz_bundles,
+    )
+
+    f0, f1, f2 = (_rgb(30, 40, seed=50 + i) for i in range(3))
+    rows = [
+        (0, bytearray(codecs.encode_tiff([f0, f1, f2]))),      # 3 pages
+        (1, bytearray(codecs.encode_png(_rgb(8, 8, seed=60)))),  # single
+        (2, bytearray(b"\xff\xd8\xff\xe0JFIF")),               # error row
+    ]
+    media = spark.createDataFrame(rows, "media_id: long, blob: binary")
+    thumbs = multiframe_thumbnails(media, size=(16, 16)).cache()
+    got = thumbs.collect()
+    ok = [r for r in got if r.error is None]
+    assert {(r.media_id, r.frame_ix) for r in ok} == \
+        {(0, 0), (0, 1), (0, 2), (1, 0)}
+    assert all((r.width, r.height) == (16, 16) for r in ok)
+    assert [r.media_id for r in got if r.error is not None] == [2]
+
+    # frame order survives into the npz bundle naming
+    bundles = {r.media_id: r for r in thumbnail_npz_bundles(
+        thumbs.filter("error IS NULL")).collect()}
+    import io
+
+    import numpy as np_
+
+    npz = np_.load(io.BytesIO(bytes(bundles[0].npz)))
+    assert sorted(npz.files) == ["frame_0000", "frame_0001", "frame_0002"]
+    assert npz["frame_0000"].shape == (16, 16, 3)
