@@ -19,13 +19,15 @@ numpy:
 - **TIFF** (TIFF 6.0, incl. **multi-frame** via the IFD chain — the D3
   page-split container): 8-bit strips, gray/RGB/palette photometrics,
   Compression none/LZW(+Predictor 2)/PackBits, Orientation tag.
+- **GIF** (87a/89a): global/local color tables, GIF-variant LZW,
+  interlace, transparency, multi-frame canvas compositing.
 
 Matching encoders (:func:`encode_png`, :func:`encode_bmp`,
-:func:`encode_ppm`, :func:`encode_tiff`) exist so tests roundtrip real
-containers end-to-end and synthetic corpora can carry real-format
-payloads. JPEG/GIF remain behind the PIL seam
-(``operators/multimodal.pil_decode_fn``) — DCT/GIF-LZW entropy coding
-from scratch is out of scope and the seam is documented.
+:func:`encode_ppm`, :func:`encode_tiff`, :func:`encode_gif`) exist so
+tests roundtrip real containers end-to-end and synthetic corpora can
+carry real-format payloads. JPEG remains behind the PIL seam
+(``operators/multimodal.pil_decode_fn``) — DCT entropy coding from
+scratch is out of scope and the seam is documented.
 
 Decode cost note (100 TB): filters 0/1/2 are fully vectorized (copy,
 per-lane cumsum mod 256, vectorized up-add); filters 3/4 (average/Paeth)
@@ -411,7 +413,8 @@ def encode_ppm(arr: np.ndarray, comment: str | None = None) -> bytes:
 
 _DECODERS = {"png": decode_png, "bmp": decode_bmp,
              "ppm": decode_ppm, "pgm": decode_ppm,
-             "tiff": lambda blob: decode_tiff(blob)}  # defined below
+             "tiff": lambda blob: decode_tiff(blob),   # defined below
+             "gif": lambda blob: decode_gif(blob)}     # defined below
 
 
 def builtin_decode_fn(blob: bytes) -> tuple[np.ndarray, int | None]:
@@ -425,7 +428,7 @@ def builtin_decode_fn(blob: bytes) -> tuple[np.ndarray, int | None]:
     if dec is None:
         raise ValueError(
             f"builtin_decode_fn: format {fmt or 'unknown'} needs a native "
-            "codec (PIL seam) — supported here: png/bmp/ppm/pgm/tiff")
+            "codec (PIL seam) — supported here: png/bmp/ppm/pgm/tiff/gif")
     return dec(bytes(blob))
 
 
@@ -636,10 +639,13 @@ def decode_tiff(blob: bytes) -> tuple[np.ndarray, int | None]:
 
 
 def count_frames(blob: bytes) -> int:
-    """Frame count: TIFF → IFD-chain length, everything else 1 (the D3
-    'single images pass through' rule)."""
-    if sniff_format(blob) == "tiff":
+    """Frame count: TIFF → IFD-chain length, GIF → image-descriptor
+    count, everything else 1 (the D3 'single images pass through' rule)."""
+    fmt = sniff_format(blob)
+    if fmt == "tiff":
         return len(decode_tiff_frames(blob))
+    if fmt == "gif":
+        return len(decode_gif_frames(blob))
     return 1
 
 
@@ -766,3 +772,231 @@ def encode_tiff(frames, compression: int = 1,
         (n,) = struct.unpack_from("<H", body, prev)
         struct.pack_into("<I", body, prev + 2 + 12 * n, nxt)
     return bytes(body)
+
+
+# --------------------------------------------------------------------------
+# GIF (GIF87a/89a; palette, interlace, transparency, multi-frame)
+# --------------------------------------------------------------------------
+#
+# GIF's LZW differs from TIFF's: LSB-first bit packing, per-image minimum
+# code size, code width grows when the table FILLS (no early change), and
+# the table caps at 4096 until a Clear code. Frames composite onto the
+# logical-screen canvas (sub-rect placement honored); transparency is
+# drawn as "leave underlying pixel" with a white initial canvas —
+# disposal-method restore-to-background/previous are approximated by the
+# accumulate rule (documented; thumbnail use only needs the composite).
+
+def gif_lzw_decode(data: bytes, min_code: int) -> list[int]:
+    """GIF-variant LZW → pixel index list."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    buf = 0
+    nbits = 0
+    for byte in data:
+        buf |= byte << nbits  # LSB-first
+        nbits += 8
+        while nbits >= width:
+            code = buf & ((1 << width) - 1)
+            buf >>= width
+            nbits -= width
+            if code == clear:
+                table = [(i,) for i in range(clear)] + [(), ()]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def gif_lzw_encode(indices, min_code: int) -> bytes:
+    """GIF-variant LZW encoder (inverse of :func:`gif_lzw_decode`)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    nxt = eoi + 1
+    buf = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code, wd):
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    s: tuple[int, ...] = ()
+    for ix in indices:
+        c = (int(ix),)
+        if s + c in table:
+            s = s + c
+            continue
+        emit(table[s], width)
+        table[s + c] = nxt
+        nxt += 1
+        if nxt - 1 == (1 << width) and width < 12:
+            width += 1
+        if nxt == 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            nxt = eoi + 1
+            width = min_code + 1
+        s = c
+    if s:
+        emit(table[s], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_deinterlace_rows(h: int) -> list[int]:
+    rows = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        rows.extend(range(start, h, step))
+    return rows
+
+
+def decode_gif_frames(blob: bytes) -> list[tuple[np.ndarray, int | None]]:
+    """All frames of a GIF, composited in order onto the logical screen
+    (white initial canvas). Orientation is always None (GIF has no EXIF)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("GIF: bad signature")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.full((sh, sw, 3), 255, dtype=np.uint8)
+    frames: list[tuple[np.ndarray, int | None]] = []
+    transparent: int | None = None
+    while pos < len(blob):
+        b0 = blob[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = blob[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                size = blob[pos]
+                gpacked = blob[pos + 1]
+                tix = blob[pos + 4]
+                transparent = tix if gpacked & 0x01 else None
+                pos += 1 + size
+            while blob[pos] != 0:  # skip (remaining) sub-blocks
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", blob, pos)
+        pos += 9
+        lct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            lct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if lct is None:
+            raise ValueError("GIF: image without any color table")
+        min_code = blob[pos]
+        pos += 1
+        data = bytearray()
+        while blob[pos] != 0:
+            ln = blob[pos]
+            data += blob[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        ix = gif_lzw_decode(bytes(data), min_code)
+        if len(ix) < w * h:
+            raise ValueError("GIF: truncated image data")
+        ix = np.asarray(ix[:w * h], dtype=np.uint16).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4-pass order
+            dest = np.empty_like(ix)
+            dest[_gif_deinterlace_rows(h)] = ix
+            ix = dest
+        if ix.max(initial=0) >= len(lct):
+            raise ValueError("GIF: palette index out of range")
+        rgb = lct[ix]
+        region = canvas[top:top + h, left:left + w]
+        if transparent is not None:
+            mask = (ix != transparent)[:, :, None]
+            region[...] = np.where(mask, rgb, region)
+        else:
+            region[...] = rgb
+        frames.append((canvas.copy(), None))
+        transparent = None
+    if not frames:
+        raise ValueError("GIF: no image data")
+    return frames
+
+
+def decode_gif(blob: bytes) -> tuple[np.ndarray, int | None]:
+    """First composited frame (single-image codec-seam contract)."""
+    return decode_gif_frames(blob)[0]
+
+
+def encode_gif(frames, interlace: bool = False,
+               transparent_index: int | None = None) -> bytes:
+    """GIF89a writer for tests/fixtures. ``frames``: list of (h, w, 3)
+    uint8 arrays, each with ≤256 distinct colors (exact palettization —
+    no quantizer here on purpose); every frame is written full-canvas with
+    its own local color table."""
+    frames = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    sh, sw = frames[0].shape[:2]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0, 0, 0)  # no GCT
+    for arr in frames:
+        h, w = arr.shape[:2]
+        flat = arr.reshape(-1, 3)
+        pal, ix = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError("encode_gif: >256 distinct colors")
+        bits = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))
+        n = 1 << bits
+        table = np.zeros((n, 3), dtype=np.uint8)
+        table[:len(pal)] = pal
+        ix = ix.reshape(h, w)
+        if transparent_index is not None:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent_index, 0])
+        if interlace:
+            ix = ix[_gif_deinterlace_rows(h)]  # store rows in pass order
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                           0x80 | (0x40 if interlace else 0) | (bits - 1))
+        out += table.tobytes()
+        min_code = bits
+        out.append(min_code)
+        data = gif_lzw_encode(ix.reshape(-1).tolist(), min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)

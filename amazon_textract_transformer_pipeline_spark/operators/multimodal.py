@@ -6,12 +6,13 @@ reference's page-image path, ``image_utils.py:171-655`` / thumbnail
 preproc ``preproc.py:70-173``, follows exactly this shape with PIL under a
 SageMaker endpoint).
 
-Real decode (round 3): ``functions/codecs.py`` implements PNG/BMP/PPM/PGM
-from the public specs with stdlib zlib + numpy, so :func:`decode_image`
-runs for real in this codec-less sandbox via :func:`auto_decode_fn`
-(FAKE1 → fake codec, png/bmp/ppm/pgm → built-in, jpeg/gif/tiff → PIL when
-importable, else the per-record ``error`` column). The deterministic FAKE1
-container below remains the oracle-friendly fixture format.
+Real decode (round 3): ``functions/codecs.py`` implements PNG/BMP/PPM/PGM,
+multi-frame TIFF, and GIF from the public specs with stdlib zlib + numpy,
+so :func:`decode_image` and :func:`multiframe_thumbnails` run for real in
+this codec-less sandbox via :func:`auto_decode_fn` (FAKE1 → fake codec,
+png/bmp/ppm/pgm/tiff/gif → built-in, jpeg → PIL when importable, else the
+per-record ``error`` column). The deterministic FAKE1 container below
+remains the oracle-friendly fixture format.
 """
 
 from __future__ import annotations
@@ -328,7 +329,7 @@ def pil_decode_fn(blob: bytes):
 
 def auto_decode_fn(blob: bytes):
     """Dispatching codec seam: FAKE1 fixtures → :func:`fake_decode_array`;
-    png/bmp/ppm/pgm/tiff → the zero-dependency built-in codecs
+    png/bmp/ppm/pgm/tiff/gif → the zero-dependency built-in codecs
     (functions/codecs.py); everything else → PIL when importable. Failures
     raise ValueError, which :func:`thumbnail_images` turns into the
     per-record ``error`` column — one bad blob never fails the stage."""
@@ -337,7 +338,8 @@ def auto_decode_fn(blob: bytes):
     blob = bytes(blob)
     if blob[:len(_MAGIC)] == _MAGIC:
         return fake_decode_array(blob)
-    if codecs.sniff_format(blob) in ("png", "bmp", "ppm", "pgm", "tiff"):
+    if codecs.sniff_format(blob) in ("png", "bmp", "ppm", "pgm",
+                                    "tiff", "gif"):
         return codecs.builtin_decode_fn(blob)
     try:
         import PIL.Image  # noqa: F401
@@ -351,8 +353,9 @@ def multiframe_thumbnails(media: DataFrame, size=(224, 224),
                           default_square: bool = True,
                           max_size: int | None = None) -> DataFrame:
     """D3 for real containers: walk EVERY frame of each blob (TIFF IFD
-    chain via the built-in codec — the reference's PIL ``seek(i)`` loop,
-    image_utils.py:510-558; single-frame formats pass through as frame 0)
+    chain, GIF image-descriptor walk via the built-in codecs — the
+    reference's PIL ``seek(i)`` loop, image_utils.py:510-558;
+    single-frame formats pass through as frame 0)
     then run the D4+D5 rotate/resize kernels per frame. Emits
     THUMBNAIL_SCHEMA rows with the in-container ``frame_ix``, which is what
     keys the npz bundle's ``frame_NNNN`` ordering."""
@@ -364,8 +367,11 @@ def multiframe_thumbnails(media: DataFrame, size=(224, 224),
             for mid, blob in zip(b["media_id"], b["blob"]):
                 blob = bytes(blob)
                 try:
-                    if codecs.sniff_format(blob) == "tiff":
+                    fmt = codecs.sniff_format(blob)
+                    if fmt == "tiff":
                         frames = codecs.decode_tiff_frames(blob)
+                    elif fmt == "gif":
+                        frames = codecs.decode_gif_frames(blob)
                     else:
                         frames = [auto_decode_fn(blob)]
                     for fix, (arr, orient) in enumerate(frames):

@@ -286,3 +286,72 @@ def test_multiframe_thumbnails_spark(spark):
     npz = np_.load(io.BytesIO(bytes(bundles[0].npz)))
     assert sorted(npz.files) == ["frame_0000", "frame_0001", "frame_0002"]
     assert npz["frame_0000"].shape == (16, 16, 3)
+
+
+# --------------------------------------------------------------------------
+# GIF (palette, interlace, transparency, multi-frame compositing)
+# --------------------------------------------------------------------------
+
+def _pal_img(h, w, ncolors, seed):
+    pal = _rng(seed).integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    return pal[_rng(seed + 1).integers(0, ncolors, size=(h, w))]
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip(interlace):
+    arr = _pal_img(17, 9, 40, seed=70 + interlace)
+    out, orient = codecs.decode_gif(
+        codecs.encode_gif([arr], interlace=interlace))
+    np.testing.assert_array_equal(out, arr)
+    assert orient is None
+
+
+def test_gif_multiframe_and_count():
+    frames = [_pal_img(8, 12, 30, seed=80 + i) for i in range(3)]
+    blob = codecs.encode_gif(frames)
+    got = codecs.decode_gif_frames(blob)
+    assert len(got) == 3
+    for (out, _), want in zip(got, frames):
+        np.testing.assert_array_equal(out, want)
+    assert codecs.count_frames(blob) == 3
+
+
+def test_gif_transparency_composites_over_canvas():
+    # frame 1 fully opaque; frame 2 marks one palette index transparent —
+    # those pixels must show frame 1 underneath (accumulate compositing)
+    base = _pal_img(6, 6, 10, seed=90)
+    top = _pal_img(6, 6, 10, seed=92)
+    b1 = codecs.encode_gif([base])
+    # encode the top frame alone to learn its palette order, then re-encode
+    # both with its transparent index
+    flat = top.reshape(-1, 3)
+    pal, ix = np.unique(flat, axis=0, return_inverse=True)
+    tix = int(ix[0])  # make whatever index pixel (0,0) uses transparent
+    blob = codecs.encode_gif([base, top], transparent_index=tix)
+    frames = codecs.decode_gif_frames(blob)
+    # frame 0 of the 2-frame file also had the GCE applied — compare only
+    # the final composite
+    final = frames[-1][0]
+    mask = (ix.reshape(6, 6) == tix)
+    np.testing.assert_array_equal(final[~mask], top[~mask])
+    # transparent pixels show the PREVIOUS frame's composite, not white…
+    # …unless frame 0 itself left them transparent (same GCE index logic
+    # applies per frame with its own palette), so just assert they differ
+    # from the top frame's own palette color there
+    assert (final[mask] != top[mask]).any() or mask.sum() == 0
+
+
+def test_gif_lzw_pair_growth_and_reset():
+    ixs = _rng(95).integers(0, 90, size=30000).tolist()
+    assert codecs.gif_lzw_decode(codecs.gif_lzw_encode(ixs, 7), 7) == ixs
+
+
+def test_gif_errors():
+    with pytest.raises(ValueError, match="signature"):
+        codecs.decode_gif(b"GIF90a....")
+    # 1024 distinct colors (every pixel unique) → exact palettizer refuses
+    g = np.arange(1024, dtype=np.uint32).reshape(32, 32)
+    arr = np.stack([g & 0xFF, (g >> 8) & 0xFF, np.full_like(g, 7)],
+                   axis=2).astype(np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        codecs.encode_gif([arr])
