@@ -25,9 +25,11 @@ numpy:
 Matching encoders (:func:`encode_png`, :func:`encode_bmp`,
 :func:`encode_ppm`, :func:`encode_tiff`, :func:`encode_gif`) exist so
 tests roundtrip real containers end-to-end and synthetic corpora can
-carry real-format payloads. JPEG remains behind the PIL seam
-(``operators/multimodal.pil_decode_fn``) — DCT entropy coding from
-scratch is out of scope and the seam is documented.
+carry real-format payloads. Baseline JPEG lives in the sibling
+``functions/jpeg.py`` (full T.81 baseline decode + quality-scaled
+encoder); only progressive/arithmetic JPEG variants still need the PIL
+seam (``operators/multimodal.pil_decode_fn``), and ``auto_decode_fn``
+prefers PIL for JPEG when installed (libjpeg-turbo speed).
 
 Decode cost note (100 TB): filters 0/1/2 are fully vectorized (copy,
 per-lane cumsum mod 256, vectorized up-add); filters 3/4 (average/Paeth)
@@ -411,10 +413,16 @@ def encode_ppm(arr: np.ndarray, comment: str | None = None) -> bytes:
 # dispatch
 # --------------------------------------------------------------------------
 
+def _decode_jpeg(blob):
+    from .jpeg import decode_jpeg  # sibling module (baseline T.81)
+    return decode_jpeg(blob)
+
+
 _DECODERS = {"png": decode_png, "bmp": decode_bmp,
              "ppm": decode_ppm, "pgm": decode_ppm,
              "tiff": lambda blob: decode_tiff(blob),   # defined below
-             "gif": lambda blob: decode_gif(blob)}     # defined below
+             "gif": lambda blob: decode_gif(blob),     # defined below
+             "jpeg": _decode_jpeg}
 
 
 def builtin_decode_fn(blob: bytes) -> tuple[np.ndarray, int | None]:
@@ -428,7 +436,7 @@ def builtin_decode_fn(blob: bytes) -> tuple[np.ndarray, int | None]:
     if dec is None:
         raise ValueError(
             f"builtin_decode_fn: format {fmt or 'unknown'} needs a native "
-            "codec (PIL seam) — supported here: png/bmp/ppm/pgm/tiff/gif")
+            "codec (PIL seam) — supported here: png/bmp/ppm/pgm/tiff/gif/jpeg-baseline")
     return dec(bytes(blob))
 
 

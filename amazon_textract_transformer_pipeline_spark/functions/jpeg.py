@@ -1,0 +1,538 @@
+"""Baseline JPEG codec (ITU-T T.81) — pure Python/numpy, no native libs.
+
+Completes the built-in codec family (functions/codecs.py) with the one
+format that was still PIL-gated: baseline sequential DCT JPEG. Scope:
+
+- **decode**: SOI/APPn/DQT/DHT/SOF0/DRI/SOS/RSTn/EOI marker walk; 8-bit
+  precision; 1 (gray) or 3 (YCbCr) components with arbitrary sampling
+  factors (4:4:4, 4:2:2, 4:2:0, …); canonical Huffman decode with byte
+  unstuffing and restart-interval DC-predictor resets; batched
+  orthonormal IDCT (one einsum per component, not per block); nearest
+  upsampling; BT.601 YCbCr→RGB. EXIF orientation read from APP1.
+  Progressive (SOF2), arithmetic coding, 12-bit, and CMYK raise
+  ValueError (→ the per-record ``error`` column upstream).
+- **encode** (tests/fixtures): quality-scaled Annex-K quantization,
+  spec Annex-K Huffman tables, 4:4:4 or 4:2:0 sampling, optional DRI.
+
+JPEG is lossy — roundtrips assert closeness (small mean error at high
+quality), while bit-level machinery (zigzag, magnitude coding, Huffman
+table construction, DCT orthonormality) is asserted exactly in tests.
+The Annex-K table constants are transcribed from the public spec; since
+encoder and decoder share them, roundtrip tests prove self-consistency
+and the constants' provenance is the spec text itself.
+
+Cost note (100 TB): Huffman entropy decode is sequential per scan — the
+Python loop is the floor, not the ceiling (same trade as the PNG Paeth
+row documented in codecs.py); everything after entropy decode is
+vectorized numpy. Prefer libjpeg-turbo via PIL where installable.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: Annex K.1/K.2 base quantization tables (natural row order)
+QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QUANT_CHROM = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32, dtype=np.int64)
+
+#: Annex K.3 typical Huffman tables: (bits[1..16], values)
+DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+          list(range(12)))
+DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+            list(range(12)))
+AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+AC_CHROM = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# orthonormal DCT-II basis: FDCT = C @ x @ C.T, IDCT = C.T @ F @ C
+_k = np.arange(8).reshape(8, 1)
+_n = np.arange(8).reshape(1, 8)
+DCT_C = np.sqrt(2.0 / 8.0) * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+DCT_C[0] /= np.sqrt(2.0)
+
+
+def build_huffman_decoder(bits, values) -> dict[tuple[int, int], int]:
+    """Canonical Huffman (T.81 Annex C) → {(length, code): symbol}."""
+    table = {}
+    code = 0
+    ix = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[ix]
+            code += 1
+            ix += 1
+        code <<= 1
+    return table
+
+
+def build_huffman_encoder(bits, values) -> dict[int, tuple[int, int]]:
+    """Inverse mapping: symbol → (code, length)."""
+    return {sym: (code, ln)
+            for (ln, code), sym in build_huffman_decoder(bits, values).items()}
+
+
+def extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: magnitude-category value → signed."""
+    return v - ((1 << t) - 1) if t and v < (1 << (t - 1)) else v
+
+
+def magnitude(v: int) -> tuple[int, int]:
+    """Signed value → (category t, t-bit code) — the encoder inverse."""
+    t = int(abs(v)).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    RSTn markers are consumed by :meth:`restart`."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                # marker: feed padding bits; caller handles the marker
+                self.buf = (self.buf << 8) | 0xFF
+                self.nbits += 8
+                return
+            else:
+                raise ValueError(f"JPEG: stray marker 0x{nxt:02x} in scan")
+        else:
+            self.pos += 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return v
+
+    def decode(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code")
+
+    def restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.buf = 0
+        self.nbits = 0
+        d = self.data
+        while d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return
+        raise ValueError("JPEG: expected restart marker")
+
+
+def decode_jpeg(blob: bytes) -> tuple[np.ndarray, int | None]:
+    """Baseline JPEG → ((h, w, 3) uint8 RGB, exif_orientation|None)."""
+    from .codecs import _parse_exif_orientation
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("JPEG: bad SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    orientation = None
+    restart_interval = 0
+    scan = None
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("JPEG: marker expected")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", blob, pos)
+        seg = blob[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, p).astype(np.int64)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, p).astype(np.int64)
+                    p += 128
+                nat = np.empty(64, np.int64)
+                nat[ZIGZAG] = tbl  # stored in zigzag order
+                qt[tq] = nat.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1:p + 17])
+                nvals = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nvals])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    build_huffman_decoder(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("JPEG: only 8-bit precision supported")
+            comps = []
+            for i in range(ncomp):
+                cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 15,
+                              "tq": tq})
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "JPEG: only baseline sequential (SOF0) supported — "
+                f"got SOF marker 0x{marker:02x} (progressive/arithmetic)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            orientation = _parse_exif_orientation(seg[6:])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append({"id": cs, "dc": tables >> 4, "ac": tables & 15})
+            pos += seglen
+            break
+        pos += seglen
+    if sof is None or scan is None:
+        raise ValueError("JPEG: missing SOF/SOS")
+    h, w, comps = sof
+    if len(comps) not in (1, 3):
+        raise ValueError(f"JPEG: {len(comps)} components not supported")
+    by_id = {c["id"]: c for c in comps}
+    for s in scan:
+        s.update(by_id[s["id"]])
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component coefficient stores, one (nblocks, 64) array each
+    store = {c["id"]: np.zeros((mcux * c["h"] * mcuy * c["v"], 64),
+                               np.int64) for c in comps}
+    bw = {c["id"]: mcux * c["h"] for c in comps}  # blocks per row
+
+    rdr = _BitReader(blob, pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                rdr.restart()
+                pred = {c["id"]: 0 for c in comps}
+            for s in scan:
+                dct, act = huff_dc[s["dc"]], huff_ac[s["ac"]]
+                for by in range(s["v"]):
+                    for bx in range(s["h"]):
+                        coef = np.zeros(64, np.int64)
+                        t = rdr.decode(dct)
+                        diff = extend(rdr.read(t), t) if t else 0
+                        pred[s["id"]] += diff
+                        coef[0] = pred[s["id"]]
+                        k = 0
+                        while k < 63:
+                            rs = rdr.decode(act)
+                            r, size = rs >> 4, rs & 15
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += r + 1
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            coef[k] = extend(rdr.read(size), size)
+                        row = my * s["v"] + by
+                        col = mx * s["h"] + bx
+                        store[s["id"]][row * bw[s["id"]] + col] = coef
+            mcu_count += 1
+
+    planes = {}
+    for c in comps:
+        coefs = store[c["id"]]
+        nat = np.zeros_like(coefs)
+        nat[:, ZIGZAG] = coefs  # zigzag → natural order
+        blocks = nat.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
+        spatial = np.einsum("ki,nkl,lj->nij", DCT_C, blocks.astype(np.float64),
+                            DCT_C)
+        spatial = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+        nby, nbx = mcuy * c["v"], mcux * c["h"]
+        plane = spatial.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(nby * 8, nbx * 8)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes[c["id"]] = plane[:h, :w]
+
+    if len(comps) == 1:
+        g = planes[comps[0]["id"]]
+        return np.repeat(g[:, :, None], 3, axis=2), orientation
+    y, cb, cr = (planes[c["id"]].astype(np.float64) for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), orientation
+
+
+# --------------------------------------------------------------------------
+# encoder (tests / fixtures)
+# --------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.buf = (self.buf << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.buf >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+            self.buf &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-padding per spec
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(quality, 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255)
+
+
+def _encode_block(bw, coef_zz, pred, enc_dc, enc_ac):
+    t, bitsv = magnitude(int(coef_zz[0]) - pred)
+    code, ln = enc_dc[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(bitsv, t)
+    run = 0
+    last = 63
+    while last > 0 and coef_zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc_ac[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        t, bitsv = magnitude(v)
+        code, ln = enc_ac[(run << 4) | t]
+        bw.write(code, ln)
+        bw.write(bitsv, t)
+        run = 0
+    if last < 63:
+        code, ln = enc_ac[0x00]
+        bw.write(code, ln)
+    return int(coef_zz[0])
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90,
+                subsampling: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) RGB or (h, w) gray uint8 → baseline JFIF bytes."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    qlum = _quality_scale(QUANT_LUM, quality).reshape(8, 8)
+    qchrom = _quality_scale(QUANT_CHROM, quality).reshape(8, 8)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samps = [(1, 1)]
+        qsel = [0]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        if subsampling == "4:2:0":
+            samps = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "4:4:4":
+            samps = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"encode_jpeg: subsampling {subsampling}")
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-component padded planes and blocked zigzag coefficients
+    comp_blocks = []
+    for plane, (sh, sv), q in zip(planes, samps, (
+            [qlum] + [qchrom, qchrom][:0 if gray else 2])):
+        cw, ch = mcux * sh * 8, mcuy * sv * 8
+        if not gray and (sh, sv) != (hmax, vmax):
+            # box-average downsample by the sampling ratio
+            fy, fx = vmax // sv, hmax // sh
+            py = -(-h // fy) * fy
+            px = -(-w // fx) * fx
+            pad = np.empty((py, px))
+            pad[:h, :w] = plane
+            pad[h:, :w] = plane[-1:, :]
+            pad[:, w:] = pad[:, w - 1:w]
+            plane = pad.reshape(py // fy, fy, px // fx, fx).mean(axis=(1, 3))
+        ph, pw = plane.shape
+        padded = np.empty((ch, cw))
+        padded[:ph, :pw] = plane
+        padded[ph:, :pw] = plane[-1:, :]
+        padded[:, pw:] = padded[:, pw - 1:pw]
+        blocks = padded.reshape(ch // 8, 8, cw // 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+        freq = np.einsum("ik,nkl,jl->nij", DCT_C, blocks, DCT_C)
+        coefs = np.round(freq / q[None, :, :]).astype(np.int64).reshape(-1, 64)
+        comp_blocks.append(coefs[:, ZIGZAG])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)  # APP0, unit-less density
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    zz = lambda q: bytes(int(v) for v in q.reshape(64)[ZIGZAG])  # noqa: E731
+    out += seg(0xDB, b"\x00" + zz(qlum))
+    if not gray:
+        out += seg(0xDB, b"\x01" + zz(qchrom))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += struct.pack(">BBB", i + 1, (samps[i][0] << 4) | samps[i][1],
+                           qsel[i])
+    out += seg(0xC0, sof)
+    for tc_th, (bits, vals) in ((0x00, DC_LUM), (0x10, AC_LUM)) + (
+            () if gray else ((0x01, DC_CHROM), (0x11, AC_CHROM))):
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += struct.pack(">BB", i + 1, 0x00 if i == 0 else 0x11)
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+
+    enc = {
+        "dc0": build_huffman_encoder(*DC_LUM),
+        "ac0": build_huffman_encoder(*AC_LUM),
+        "dc1": build_huffman_encoder(*DC_CHROM),
+        "ac1": build_huffman_encoder(*AC_CHROM),
+    }
+    bwr = _BitWriter()
+    pred = [0] * ncomp
+    bw_ = [mcux * s[0] for s in samps]
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bwr.flush()
+                out += bwr.out
+                bwr = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                pred = [0] * ncomp
+            for ci in range(ncomp):
+                sh, sv = samps[ci]
+                tsel = "0" if ci == 0 else "1"
+                for by in range(sv):
+                    for bx in range(sh):
+                        row = my * sv + by
+                        col = mx * sh + bx
+                        coef = comp_blocks[ci][row * bw_[ci] + col]
+                        pred[ci] = _encode_block(
+                            bwr, coef, pred[ci],
+                            enc["dc" + tsel], enc["ac" + tsel])
+            mcu_count += 1
+    bwr.flush()
+    out += bwr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

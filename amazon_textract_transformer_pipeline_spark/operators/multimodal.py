@@ -10,7 +10,9 @@ Real decode (round 3): ``functions/codecs.py`` implements PNG/BMP/PPM/PGM,
 multi-frame TIFF, and GIF from the public specs with stdlib zlib + numpy,
 so :func:`decode_image` and :func:`multiframe_thumbnails` run for real in
 this codec-less sandbox via :func:`auto_decode_fn` (FAKE1 → fake codec,
-png/bmp/ppm/pgm/tiff/gif → built-in, jpeg → PIL when importable, else the
+png/bmp/ppm/pgm/tiff/gif → built-in, jpeg → PIL when importable (libjpeg
+speed) with the built-in baseline T.81 decoder (functions/jpeg.py) as the
+no-PIL fallback; only progressive jpeg without PIL lands in the
 per-record ``error`` column). The deterministic FAKE1 container below
 remains the oracle-friendly fixture format.
 """

@@ -159,7 +159,10 @@ def test_builtin_decode_fn_dispatch_and_unsupported():
     arr = _rgb(3, 3, seed=17)
     out, _ = codecs.builtin_decode_fn(codecs.encode_bmp(arr))
     np.testing.assert_array_equal(out, arr)
-    with pytest.raises(ValueError, match="jpeg"):
+    with pytest.raises(ValueError, match="unknown"):
+        codecs.builtin_decode_fn(b"RIFF\x00\x00\x00\x00WEBP")
+    # jpeg magic now dispatches to the baseline decoder (garbage → error)
+    with pytest.raises(ValueError, match="JPEG"):
         codecs.builtin_decode_fn(b"\xff\xd8\xff\xe0JFIF")
 
 
@@ -196,8 +199,8 @@ def test_decode_image_real_formats_no_pil(spark):
     # eXIf orientation 6 → 90° rotation applied before resize
     assert got[2].rotation_applied != 0
     assert bytes(got[2].pixels) != bytes(got[0].pixels)
-    # unsupported format reports, never raises
-    assert got[4].error is not None and "jpeg" in got[4].error
+    # malformed blob reports, never raises (jpeg magic, truncated body)
+    assert got[4].error is not None and "JPEG" in got[4].error
 
 
 # --------------------------------------------------------------------------
