@@ -488,3 +488,56 @@ def explode_frames(frames_df: DataFrame) -> DataFrame:
     """ARRAY<BINARY> frames → one row per frame (order-preserving)."""
     return frames_df.select(
         "media_id", F.posexplode("frames").alias("frame_ix", "frame"))
+
+
+def synth_real_media_df(spark, n: int, seed: int = 42,
+                        partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic media table carrying REAL container
+    bytes (round-robin png / jpeg / bmp / multi-frame tiff / gif, all
+    produced by the built-in encoders) — the real-format counterpart of
+    :func:`synth_media_df` for exercising the full decode path at corpus
+    scale. Same schema: (media_id, kind, blob)."""
+    from ..functions import codecs, jpeg
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+    ])
+    kinds = ("png", "jpeg", "bmp", "tiff", "gif")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                rng = np.random.Generator(np.random.PCG64(seed ^ i))
+                h, w = 16 + i % 48, 16 + (i * 7) % 48
+                kind = kinds[i % len(kinds)]
+                if kind == "gif":  # exact palettizer needs ≤256 colors
+                    pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+                    arr = pal[rng.integers(0, 64, size=(h, w))]
+                else:
+                    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                if kind == "png":
+                    blob = codecs.encode_png(arr, filter_type=i % 5,
+                                             orientation=(i % 9) or None)
+                elif kind == "jpeg":
+                    blob = jpeg.encode_jpeg(
+                        arr, quality=85 + i % 13,
+                        subsampling="4:2:0" if i % 2 else "4:4:4")
+                elif kind == "bmp":
+                    blob = codecs.encode_bmp(arr, top_down=bool(i % 2))
+                elif kind == "tiff":
+                    arr2 = rng.integers(0, 256, size=(h, w, 3),
+                                        dtype=np.uint8)
+                    blob = codecs.encode_tiff(
+                        [arr, arr2], compression=(1, 5, 32773)[i % 3],
+                        predictor=2 if i % 3 == 1 else 1)
+                else:
+                    blob = codecs.encode_gif([arr], interlace=bool(i % 2))
+                rows.append({"media_id": i, "kind": kind, "blob": blob})
+            yield pd.DataFrame(rows)
+
+    rng_df = spark.range(0, n, 1, partitions or 8)
+    return rng_df.mapInPandas(gen, schema=schema)

@@ -358,3 +358,31 @@ def test_gif_errors():
                    axis=2).astype(np.uint8)
     with pytest.raises(ValueError, match="256"):
         codecs.encode_gif([arr])
+
+
+def test_synth_real_media_full_decode_path(spark):
+    """Corpus-scale integration: real-format synthetic media (all five
+    container formats, deterministic) → multiframe_thumbnails decodes
+    every record with zero errors; tiff rows yield 2 frames each."""
+    from amazon_textract_transformer_pipeline_spark.operators.multimodal import (
+        multiframe_thumbnails,
+        synth_real_media_df,
+    )
+
+    media = synth_real_media_df(spark, 40, seed=9).cache()
+    assert {r.kind for r in media.select("kind").distinct().collect()} == \
+        {"png", "jpeg", "bmp", "tiff", "gif"}
+    # determinism
+    a = media.selectExpr("media_id", "md5(blob) h").collect()
+    b = synth_real_media_df(spark, 40, seed=9) \
+        .selectExpr("media_id", "md5(blob) h").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    thumbs = multiframe_thumbnails(media, size=(16, 16)).cache()
+    assert thumbs.filter("error IS NOT NULL").count() == 0
+    per = {r.media_id: r["count"] for r in
+           thumbs.groupBy("media_id").count().collect()}
+    kinds = {r.media_id: r.kind for r in media.select("media_id",
+                                                      "kind").collect()}
+    for mid, nframes in per.items():
+        assert nframes == (2 if kinds[mid] == "tiff" else 1), kinds[mid]
