@@ -310,7 +310,7 @@ SELECT user_id, event_type,
        count(*) AS n
 FROM c GROUP BY user_id, event_type""",
         "tumbling_windows": """
-SELECT date_trunc('hour', ts) AS window_start, event_type,
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
        count(*) AS n_events,
        round(sum(value), 6) AS sum_value,
        count(DISTINCT user_id) AS n_users
@@ -329,7 +329,8 @@ WITH o AS (
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 )
-SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_last_us,
        count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sid""",
         "s4_pagination_merge": """

@@ -507,8 +507,9 @@ def q_tumbling_windows(spark, sf_dir) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 6).alias("sum_value"),
              F.countDistinct("user_id").alias("n_users"))
-        .select(F.col("w.start").alias("window_start"), "event_type",
-                "n_events", "sum_value", "n_users")
+        .select(F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', w.start)")
+                .alias("window_start_us"),
+                "event_type", "n_events", "sum_value", "n_users")
     )
 
 
@@ -517,15 +518,21 @@ def q_session_windows(spark, sf_dir) -> DataFrame:
     ``session_window`` — Spark's native merging-session aggregate; one
     shuffle on user_id. ``session_window.end`` is last_event + gap, so the
     last-event timestamp is recovered by subtracting the gap (keeps the
-    DuckDB oracle a pure min/max over lag-derived session ids)."""
+    DuckDB oracle a pure min/max over lag-derived session ids).
+    Timestamps cross the gate as epoch-microsecond BIGINTs via
+    timestampdiff on the NTZ value — raw timestamp columns hash
+    engine-dependently (ns vs us) and unix_micros/casts would drag the
+    driver session's timezone into the result."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 6).alias("sum_value"))
         .select("user_id",
-                F.col("w.start").alias("session_start"),
-                (F.col("w.end") - F.expr("INTERVAL 30 MINUTES")
-                 ).alias("session_last"),
+                F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', w.start)")
+                .alias("session_start_us"),
+                F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+                       "w.end - INTERVAL 30 MINUTES)")
+                .alias("session_last_us"),
                 "n_events", "sum_value")
     )
