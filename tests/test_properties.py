@@ -229,3 +229,33 @@ def test_bmp_ppm_roundtrip_property(shape, top_down, seed):
     b, _ = codecs.decode_bmp(codecs.encode_bmp(arr, top_down=top_down))
     p, _ = codecs.decode_ppm(codecs.encode_ppm(arr))
     assert (b == arr).all() and (p == arr).all()
+
+
+# --------------------------------------------------------------------------
+# WARC fixture-writer/reader roundtrip (pure python, no Spark)
+# --------------------------------------------------------------------------
+
+@given(st.lists(
+    st.tuples(
+        st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=1, max_size=30),
+        st.binary(max_size=200)),
+    min_size=1, max_size=10), st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_warc_roundtrip_property(pages, with_requests):
+    import gzip
+    from datetime import datetime, timedelta
+
+    from amazon_textract_transformer_pipeline_spark.sources import warc
+
+    recs = [{"url": f"http://h/{i}/{u}", "date":
+             datetime(2026, 1, 1) + timedelta(seconds=i), "html": body}
+            for i, (u, body) in enumerate(pages)]
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".warc.gz") as f:
+        warc.write_warc_gz(f.name, recs, with_request_records=with_requests)
+        raw = gzip.decompress(open(f.name, "rb").read())
+    rows = list(warc.records_to_page_rows(raw))
+    assert [r["url"] for r in rows] == [r["url"] for r in recs]
+    assert [bytes(r["html"]) for r in rows] == [r["html"] for r in recs]
+    assert all(r["warc_ts"] is not None for r in rows)
