@@ -1008,3 +1008,62 @@ def encode_gif(frames, interlace: bool = False,
         out.append(0)
     out.append(0x3B)
     return bytes(out)
+
+
+def sniff_dimensions(blob: bytes) -> tuple[int, int] | None:
+    """Header-only (width, height) — the cheap D1 metadata path: no
+    decompression, no pixel decode, O(header) bytes touched per record.
+    Returns None when the format is unknown or the header is mangled."""
+    fmt = sniff_format(blob)
+    try:
+        if fmt == "png":
+            w, h = struct.unpack_from(">II", blob, 16)
+            return int(w), int(h)
+        if fmt == "bmp":
+            w, h = struct.unpack_from("<ii", blob, 18)
+            return int(w), abs(int(h))
+        if fmt == "gif":
+            w, h = struct.unpack_from("<HH", blob, 6)
+            return int(w), int(h)
+        if fmt in ("ppm", "pgm"):
+            toks = []
+            pos = 2
+            while len(toks) < 2 and pos < len(blob):
+                while pos < len(blob) and blob[pos:pos + 1].isspace():
+                    pos += 1
+                if blob[pos:pos + 1] == b"#":
+                    while pos < len(blob) and blob[pos] not in (0x0A, 0x0D):
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(blob) and blob[pos:pos + 1].isdigit():
+                    pos += 1
+                if pos == start:
+                    return None
+                toks.append(int(blob[start:pos]))
+            return (toks[0], toks[1]) if len(toks) == 2 else None
+        if fmt == "tiff":
+            e = "<" if blob[:2] == b"II" else ">"
+            (off,) = struct.unpack_from(e + "I", blob, 4)
+            tags, _ = _tiff_read_ifd(blob, e, off)
+            w = tags.get(_TIFF_TAG_WIDTH)
+            h = tags.get(_TIFF_TAG_LENGTH)
+            return (int(w[0]), int(h[0])) if w and h else None
+        if fmt == "jpeg":
+            pos = 2
+            while pos + 4 <= len(blob):
+                if blob[pos] != 0xFF:
+                    return None
+                marker = blob[pos + 1]
+                if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                    pos += 2
+                    continue
+                (ln,) = struct.unpack_from(">H", blob, pos + 2)
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
+                                                             0xCC):
+                    h, w = struct.unpack_from(">HH", blob, pos + 5)
+                    return int(w), int(h)
+                pos += 2 + ln
+    except (struct.error, ValueError, IndexError):
+        return None
+    return None

@@ -80,8 +80,12 @@ META_SCHEMA = T.StructType([
 
 def decode_metadata(media: DataFrame) -> DataFrame:
     """Header sniff (the D1 media-type inference analog,
-    image_utils.py:299-366): cheap, no codec needed, error → valid=false
-    row (warn-don't-fail channel, SURVEY §4)."""
+    image_utils.py:299-366): cheap, no codec and no decompression needed —
+    FAKE1 fixtures by header struct, real containers via
+    codecs.sniff_format/sniff_dimensions (O(header) bytes per record);
+    error → valid=false row (warn-don't-fail channel, SURVEY §4)."""
+    from ..functions import codecs
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
@@ -93,7 +97,16 @@ def decode_metadata(media: DataFrame) -> DataFrame:
                     rows.append({"media_id": int(mid), "width": w, "height": h,
                                  "format": FORMATS.get(fmt, "unknown"),
                                  "n_bytes": len(blob), "valid": True})
+                    continue
                 except Exception:
+                    pass
+                rfmt = codecs.sniff_format(blob)
+                dims = codecs.sniff_dimensions(blob) if rfmt else None
+                if rfmt and dims:
+                    rows.append({"media_id": int(mid), "width": dims[0],
+                                 "height": dims[1], "format": rfmt,
+                                 "n_bytes": len(blob), "valid": True})
+                else:
                     rows.append({"media_id": int(mid), "width": None,
                                  "height": None, "format": None,
                                  "n_bytes": len(blob), "valid": False})

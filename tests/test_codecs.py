@@ -386,3 +386,47 @@ def test_synth_real_media_full_decode_path(spark):
                                                       "kind").collect()}
     for mid, nframes in per.items():
         assert nframes == (2 if kinds[mid] == "tiff" else 1), kinds[mid]
+
+
+def test_sniff_dimensions_all_formats():
+    from amazon_textract_transformer_pipeline_spark.functions import jpeg
+
+    arr = _rgb(23, 31, seed=100)
+    cases = {
+        "png": codecs.encode_png(arr),
+        "bmp": codecs.encode_bmp(arr),
+        "ppm": codecs.encode_ppm(arr, comment="c"),
+        "tiff": codecs.encode_tiff([arr], compression=5),
+        "jpeg": jpeg.encode_jpeg(arr, quality=80),
+    }
+    pal = _rng(101).integers(0, 256, size=(8, 3), dtype=np.uint8)
+    cases["gif"] = codecs.encode_gif([pal[_rng(102).integers(0, 8,
+                                                             (23, 31))]])
+    for fmt, blob in cases.items():
+        assert codecs.sniff_dimensions(blob) == (31, 23), fmt
+    assert codecs.sniff_dimensions(b"garbage") is None
+    assert codecs.sniff_dimensions(b"\x89PNG\r\n\x1a\n\x00") is None  # trunc
+
+
+def test_decode_metadata_real_formats(spark):
+    from amazon_textract_transformer_pipeline_spark.operators.multimodal import (
+        decode_metadata,
+        make_fake_blob,
+        synth_real_media_df,
+    )
+
+    media = synth_real_media_df(spark, 20, seed=4)
+    meta = {r.media_id: r for r in decode_metadata(media).collect()}
+    assert all(m.valid for m in meta.values())
+    kinds = {r.media_id: r.kind for r in media.collect()}
+    for mid, m in meta.items():
+        assert m.format == kinds[mid]
+        assert m.width > 0 and m.height > 0
+    # FAKE1 still wins the header race; garbage still invalid
+    extra = spark.createDataFrame(
+        [(0, bytearray(make_fake_blob(50, 40, 1, 3))),
+         (1, bytearray(b"not an image"))],
+        "media_id: long, blob: binary")
+    em = {r.media_id: r for r in decode_metadata(extra).collect()}
+    assert em[0].valid and em[0].format == "jpeg" and em[0].width == 50
+    assert not em[1].valid
