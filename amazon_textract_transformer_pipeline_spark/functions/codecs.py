@@ -71,6 +71,12 @@ def sniff_format(blob: bytes) -> str | None:
         return "gif"
     if blob.startswith((b"II*\x00", b"MM\x00*")):
         return "tiff"
+    if blob.startswith(b"RIFF") and blob[8:12] == b"WAVE":
+        return "wav"
+    if blob.startswith(b"RIFF") and blob[8:12] == b"WEBP":
+        return "webp"
+    if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -1049,6 +1055,12 @@ def sniff_dimensions(blob: bytes) -> tuple[int, int] | None:
             w = tags.get(_TIFF_TAG_WIDTH)
             h = tags.get(_TIFF_TAG_LENGTH)
             return (int(w[0]), int(h[0])) if w and h else None
+        if fmt == "mp4":
+            from .av import sniff_mp4_meta
+            m = sniff_mp4_meta(blob)
+            if m["width"] and m["height"]:
+                return int(m["width"]), int(m["height"])
+            return None
         if fmt == "jpeg":
             pos = 2
             while pos + 4 <= len(blob):

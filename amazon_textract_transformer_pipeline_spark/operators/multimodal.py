@@ -102,9 +102,11 @@ def decode_metadata(media: DataFrame) -> DataFrame:
                     pass
                 rfmt = codecs.sniff_format(blob)
                 dims = codecs.sniff_dimensions(blob) if rfmt else None
-                if rfmt and dims:
-                    rows.append({"media_id": int(mid), "width": dims[0],
-                                 "height": dims[1], "format": rfmt,
+                if rfmt and (dims or rfmt == "wav"):  # audio has no dims
+                    rows.append({"media_id": int(mid),
+                                 "width": dims[0] if dims else None,
+                                 "height": dims[1] if dims else None,
+                                 "format": rfmt,
                                  "n_bytes": len(blob), "valid": True})
                 else:
                     rows.append({"media_id": int(mid), "width": None,
@@ -554,3 +556,43 @@ def synth_real_media_df(spark, n: int, seed: int = 42,
 
     rng_df = spark.range(0, n, 1, partitions or 8)
     return rng_df.mapInPandas(gen, schema=schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("zero_crossing_rate", T.DoubleType(), True),
+    T.StructField("spectral_centroid_hz", T.DoubleType(), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio decode + feature extraction over WAV payload columns (the
+    multimodal audio op: duration, RMS, zero-crossing rate, spectral
+    centroid — functions/av.py, vectorized numpy per record inside the
+    Arrow batch stage). Non-WAV / mangled blobs land in ``error``."""
+    from ..functions import av
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_FEATURES_SCHEMA]
+        for b in batches:
+            rows = []
+            for mid, blob in zip(b["media_id"], b["blob"]):
+                try:
+                    f = av.wav_features(bytes(blob))
+                    rows.append({"media_id": int(mid), **f, "error": None})
+                except Exception as e:
+                    rows.append({"media_id": int(mid), "sample_rate": None,
+                                 "n_channels": None, "duration_s": None,
+                                 "rms": None, "zero_crossing_rate": None,
+                                 "spectral_centroid_hz": None,
+                                 "error": str(e)})
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "blob").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA)

@@ -159,8 +159,10 @@ def test_builtin_decode_fn_dispatch_and_unsupported():
     arr = _rgb(3, 3, seed=17)
     out, _ = codecs.builtin_decode_fn(codecs.encode_bmp(arr))
     np.testing.assert_array_equal(out, arr)
-    with pytest.raises(ValueError, match="unknown"):
+    with pytest.raises(ValueError, match="webp"):
         codecs.builtin_decode_fn(b"RIFF\x00\x00\x00\x00WEBP")
+    with pytest.raises(ValueError, match="unknown"):
+        codecs.builtin_decode_fn(b"total garbage")
     # jpeg magic now dispatches to the baseline decoder (garbage → error)
     with pytest.raises(ValueError, match="JPEG"):
         codecs.builtin_decode_fn(b"\xff\xd8\xff\xe0JFIF")
