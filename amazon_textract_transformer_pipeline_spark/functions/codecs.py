@@ -629,12 +629,7 @@ def _tiff_decode_ifd(blob: bytes, e: str, tags: dict) -> tuple[np.ndarray,
 def decode_tiff_frames(blob: bytes) -> list[tuple[np.ndarray, int | None]]:
     """All frames of a (possibly multi-frame) TIFF, in IFD-chain order —
     the D3 multi-frame walk, natively."""
-    if blob[:4] == b"II*\x00":
-        e = "<"
-    elif blob[:4] == b"MM\x00*":
-        e = ">"
-    else:
-        raise ValueError("TIFF: bad header")
+    e = _tiff_endian(blob)
     (off,) = struct.unpack_from(e + "I", blob, 4)
     frames = []
     seen = set()
@@ -647,19 +642,43 @@ def decode_tiff_frames(blob: bytes) -> list[tuple[np.ndarray, int | None]]:
     return frames
 
 
+def _tiff_endian(blob: bytes) -> str:
+    if blob[:4] == b"II*\x00":
+        return "<"
+    if blob[:4] == b"MM\x00*":
+        return ">"
+    raise ValueError("TIFF: bad header")
+
+
 def decode_tiff(blob: bytes) -> tuple[np.ndarray, int | None]:
-    """First frame only (single-image contract of the codec seam)."""
-    return decode_tiff_frames(blob)[0]
+    """First frame only (single-image contract of the codec seam) — reads
+    and decodes just the first IFD, not the whole chain (a 100-page
+    archive must not cost 100 decodes in the hot thumbnail stage)."""
+    e = _tiff_endian(blob)
+    (off,) = struct.unpack_from(e + "I", blob, 4)
+    tags, _ = _tiff_read_ifd(blob, e, off)
+    return _tiff_decode_ifd(blob, e, tags)
 
 
 def count_frames(blob: bytes) -> int:
     """Frame count: TIFF → IFD-chain length, GIF → image-descriptor
-    count, everything else 1 (the D3 'single images pass through' rule)."""
+    count, everything else 1 (the D3 'single images pass through' rule).
+    Header/structure walk only — no decompression or pixel decode."""
     fmt = sniff_format(blob)
     if fmt == "tiff":
-        return len(decode_tiff_frames(blob))
+        e = _tiff_endian(blob)
+        (off,) = struct.unpack_from(e + "I", blob, 4)
+        n = 0
+        seen = set()
+        while off and off not in seen and off + 2 <= len(blob):
+            seen.add(off)
+            _, off = _tiff_read_ifd(blob, e, off)
+            n += 1
+        if n == 0:
+            raise ValueError("TIFF: no IFDs")
+        return n
     if fmt == "gif":
-        return len(decode_gif_frames(blob))
+        return _gif_count_descriptors(blob)
     return 1
 
 
@@ -777,8 +796,13 @@ def encode_tiff(frames, compression: int = 1,
         body += struct.pack("<H", len(entries))
         for tag, typ, cnt, val in entries:
             body += struct.pack("<HHI", tag, typ, cnt)
-            body += struct.pack("<I", val) if typ == 4 else \
-                struct.pack("<HH", val, 0)
+            # the 4-byte value slot holds an OFFSET whenever the payload
+            # exceeds 4 bytes — offsets are always packed <I even for
+            # SHORT-typed entries (bits_off > 65535 crashed <HH packing)
+            if typ == 4 or _TIFF_TYPE_SIZE[typ] * cnt > 4:
+                body += struct.pack("<I", val)
+            else:
+                body += struct.pack("<HH", val, 0)
         body += b"\x00\x00\x00\x00"  # next-IFD, linked below
     struct.pack_into("<I", body, 4, ifd_offsets[0])
     for prev, nxt in zip(ifd_offsets, ifd_offsets[1:]):
@@ -895,7 +919,8 @@ def _gif_deinterlace_rows(h: int) -> list[int]:
     return rows
 
 
-def decode_gif_frames(blob: bytes) -> list[tuple[np.ndarray, int | None]]:
+def decode_gif_frames(blob: bytes, max_frames: int | None = None,
+                      ) -> list[tuple[np.ndarray, int | None]]:
     """All frames of a GIF, composited in order onto the logical screen
     (white initial canvas). Orientation is always None (GIF has no EXIF)."""
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
@@ -966,14 +991,53 @@ def decode_gif_frames(blob: bytes) -> list[tuple[np.ndarray, int | None]]:
             region[...] = rgb
         frames.append((canvas.copy(), None))
         transparent = None
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
     if not frames:
         raise ValueError("GIF: no image data")
     return frames
 
 
 def decode_gif(blob: bytes) -> tuple[np.ndarray, int | None]:
-    """First composited frame (single-image codec-seam contract)."""
-    return decode_gif_frames(blob)[0]
+    """First composited frame (single-image codec-seam contract) — stops
+    after the first image descriptor instead of decoding the whole
+    animation."""
+    return decode_gif_frames(blob, max_frames=1)[0]
+
+
+def _gif_count_descriptors(blob: bytes) -> int:
+    """Image-descriptor count by block walk — skips color tables and data
+    sub-blocks without LZW decode."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("GIF: bad signature")
+    packed = blob[10]
+    pos = 13 + (3 * (2 << (packed & 0x07)) if packed & 0x80 else 0)
+    n = 0
+    while pos < len(blob):
+        b0 = blob[pos]
+        pos += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            pos += 1
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+        ipacked = blob[pos + 8]
+        pos += 9
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 0x07))
+        pos += 1  # LZW min code size
+        while blob[pos] != 0:
+            pos += 1 + blob[pos]
+        pos += 1
+        n += 1
+    if n == 0:
+        raise ValueError("GIF: no image data")
+    return n
 
 
 def encode_gif(frames, interlace: bool = False,

@@ -102,7 +102,8 @@ def decode_metadata(media: DataFrame) -> DataFrame:
                     pass
                 rfmt = codecs.sniff_format(blob)
                 dims = codecs.sniff_dimensions(blob) if rfmt else None
-                if rfmt and (dims or rfmt == "wav"):  # audio has no dims
+                if rfmt:  # sniffed format is the D1 answer; dims optional
+                    # (audio has none, webp/mp4 may not expose them)
                     rows.append({"media_id": int(mid),
                                  "width": dims[0] if dims else None,
                                  "height": dims[1] if dims else None,
@@ -421,10 +422,12 @@ def multiframe_thumbnails(media: DataFrame, size=(224, 224),
 
 def decode_image(media: DataFrame, size: tuple[int, int] = (224, 224)) -> DataFrame:
     """Real image decode + letterbox-resize to ``size`` (the reference's
-    thumbnailer, image_utils.py:83-168 / preproc.py:38-42). PNG/BMP/PPM/PGM
-    decode via the built-in pure-numpy codecs (functions/codecs.py) with no
-    native deps; jpeg/gif/tiff use PIL when installed, else land in the
-    ``error`` column per record."""
+    thumbnailer, image_utils.py:83-168 / preproc.py:38-42).
+    PNG/BMP/PPM/PGM/TIFF/GIF always decode via the built-in pure-numpy
+    codecs (functions/codecs.py); JPEG uses PIL when installed
+    (libjpeg-turbo speed), else the built-in baseline decoder
+    (functions/jpeg.py); only progressive JPEG without PIL lands in the
+    per-record ``error`` column."""
     return thumbnail_images(media, size=size, decode_fn=auto_decode_fn)
 
 

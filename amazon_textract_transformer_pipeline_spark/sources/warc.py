@@ -67,11 +67,15 @@ def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
         body_start = hdr_end + 4
         try:
             length = int(headers["content-length"])
-            body = raw[body_start:body_start + length]
-            if len(body) != length:
-                return  # truncated tail
-            pos = body_start + length
         except (KeyError, ValueError):
+            length = None
+        if length is not None and body_start + length <= n:
+            body = raw[body_start:body_start + length]
+            pos = body_start + length
+        else:
+            # missing, non-numeric, or OVERSTATED length (one corrupt
+            # digit must not sink the rest of a 1 GB archive): resync on
+            # the next record magic and take what lies before it
             nxt = raw.find(b"WARC/", body_start)
             body = raw[body_start:nxt if nxt >= 0 else n]
             pos = nxt if nxt >= 0 else n

@@ -151,13 +151,15 @@ def scaling_evidence(n_docs: int) -> dict:
             start_new_session=True,
         )
         try:
-            out, _ = proc.communicate(timeout=timeout_s)
+            out, err = proc.communicate(timeout=timeout_s)
         except subprocess.TimeoutExpired:
             os.killpg(proc.pid, signal.SIGKILL)
             proc.wait()
             raise
         if proc.returncode != 0:
-            raise subprocess.CalledProcessError(proc.returncode, proc.args)
+            log(f"scaling subprocess stderr tail:\n{err[-2000:]}")
+            raise subprocess.CalledProcessError(proc.returncode, proc.args,
+                                                output=out, stderr=err)
         return json.loads(out.strip().splitlines()[-1])
 
     results = {}

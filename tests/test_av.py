@@ -88,3 +88,21 @@ def test_audio_features_spark(spark):
     # truncated RIFF still *sniffs* as wav — D1 is header inference, the
     # decode failure surfaces in audio_features.error above, not here
     assert meta[2].valid and meta[2].format == "wav"
+
+
+def test_decode_metadata_sniffed_format_without_dims(spark):
+    """Review fix: any sniffed format is the D1 answer even without
+    header dimensions (webp; mp4 lacking a video tkhd)."""
+    from amazon_textract_transformer_pipeline_spark.operators.multimodal import (
+        decode_metadata,
+    )
+
+    import struct
+    mp4_no_trak = (struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+                   + struct.pack(">I", 8) + b"moov")
+    rows = [(0, bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 data")),
+            (1, bytearray(mp4_no_trak))]
+    media = spark.createDataFrame(rows, "media_id: long, blob: binary")
+    meta = {r.media_id: r for r in decode_metadata(media).collect()}
+    assert meta[0].valid and meta[0].format == "webp" and meta[0].width is None
+    assert meta[1].valid and meta[1].format == "mp4" and meta[1].width is None

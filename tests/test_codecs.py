@@ -432,3 +432,44 @@ def test_decode_metadata_real_formats(spark):
     em = {r.media_id: r for r in decode_metadata(extra).collect()}
     assert em[0].valid and em[0].format == "jpeg" and em[0].width == 50
     assert not em[1].valid
+
+
+# --------------------------------------------------------------------------
+# review fixes: large-TIFF offsets, first-frame-only decode, cheap counts
+# --------------------------------------------------------------------------
+
+def test_tiff_large_frame_external_offsets():
+    # >64 KB of pixel data pushes the external BitsPerSample offset past
+    # 65535 — offsets must be packed 4-byte even in SHORT-typed entries
+    arr = _rgb(160, 160, seed=200)
+    out, _ = codecs.decode_tiff(codecs.encode_tiff([arr]))
+    np.testing.assert_array_equal(out, arr)
+    out5, _ = codecs.decode_tiff(codecs.encode_tiff([arr], compression=5))
+    np.testing.assert_array_equal(out5, arr)
+
+
+def test_first_frame_decode_matches_full_walk():
+    frames = [_rgb(9, 7, seed=210 + i) for i in range(3)]
+    tblob = codecs.encode_tiff(frames)
+    np.testing.assert_array_equal(codecs.decode_tiff(tblob)[0],
+                                  codecs.decode_tiff_frames(tblob)[0][0])
+    pal = _rng(215).integers(0, 256, size=(16, 3), dtype=np.uint8)
+    gframes = [pal[_rng(216 + i).integers(0, 16, (6, 8))] for i in range(3)]
+    gblob = codecs.encode_gif(gframes)
+    np.testing.assert_array_equal(codecs.decode_gif(gblob)[0],
+                                  codecs.decode_gif_frames(gblob)[0][0])
+
+
+def test_count_frames_structure_only():
+    frames = [_rgb(5, 5, seed=220 + i) for i in range(4)]
+    assert codecs.count_frames(codecs.encode_tiff(frames)) == 4
+    pal = _rng(225).integers(0, 256, size=(8, 3), dtype=np.uint8)
+    gframes = [pal[_rng(226 + i).integers(0, 8, (5, 5))] for i in range(4)]
+    assert codecs.count_frames(
+        codecs.encode_gif(gframes, interlace=True)) == 4
+    # counting must not pay pixel-decode cost: corrupt the LZW payloads of
+    # a tiff (structure intact) — count still works, decode would fail
+    blob = bytearray(codecs.encode_tiff(frames, compression=5))
+    # smash bytes well inside the first strip
+    blob[12:20] = b"\xff" * 8
+    assert codecs.count_frames(bytes(blob)) == 4

@@ -82,3 +82,20 @@ def test_read_warc_end_to_end_byte_identical(spark, tmp_path):
                               "url: string, text: string"), "url")
     assert out.count() == len(src)
     assert out.filter("extracted_text <> text").count() == 0
+
+
+def test_warc_overstated_length_resyncs():
+    """A numerically wrong (too large) Content-Length must not swallow the
+    rest of the archive — reader resyncs on the next record magic."""
+    good = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"WARC-Target-URI: http://a/\r\nContent-Length: 5\r\n\r\n"
+            b"hello\r\n\r\n")
+    liar = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"WARC-Target-URI: http://b/\r\nContent-Length: 5000\r\n\r\n"
+            b"tiny\r\n\r\n")
+    tail = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"WARC-Target-URI: http://c/\r\nContent-Length: 3\r\n\r\n"
+            b"bye\r\n\r\n")
+    rows = list(records_to_page_rows(good + liar + tail))
+    assert [r["url"] for r in rows] == ["http://a/", "http://b/", "http://c/"]
+    assert bytes(rows[2]["html"]) == b"bye"
