@@ -1080,6 +1080,24 @@ def encode_gif(frames, interlace: bool = False,
     return bytes(out)
 
 
+def _webp_dims(blob: bytes) -> tuple[int, int] | None:
+    """WebP dims from the first chunk header: VP8X canvas (24-bit LE
+    minus-one fields), VP8 lossy frame tag, or VP8L 14-bit packed."""
+    ctype = blob[12:16]
+    if ctype == b"VP8X" and len(blob) >= 30:
+        w = int.from_bytes(blob[24:27], "little") + 1
+        h = int.from_bytes(blob[27:30], "little") + 1
+        return w, h
+    if ctype == b"VP8 " and len(blob) >= 30 and             blob[23:26] == b"\x9d\x01\x2a":
+        (w,) = struct.unpack_from("<H", blob, 26)
+        (h,) = struct.unpack_from("<H", blob, 28)
+        return w & 0x3FFF, h & 0x3FFF
+    if ctype == b"VP8L" and len(blob) >= 25 and blob[20] == 0x2F:
+        (bits,) = struct.unpack_from("<I", blob, 21)
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+    return None
+
+
 def sniff_dimensions(blob: bytes) -> tuple[int, int] | None:
     """Header-only (width, height) — the cheap D1 metadata path: no
     decompression, no pixel decode, O(header) bytes touched per record.
@@ -1119,6 +1137,8 @@ def sniff_dimensions(blob: bytes) -> tuple[int, int] | None:
             w = tags.get(_TIFF_TAG_WIDTH)
             h = tags.get(_TIFF_TAG_LENGTH)
             return (int(w[0]), int(h[0])) if w and h else None
+        if fmt == "webp":
+            return _webp_dims(blob)
         if fmt == "mp4":
             from .av import sniff_mp4_meta
             m = sniff_mp4_meta(blob)

@@ -473,3 +473,27 @@ def test_count_frames_structure_only():
     # smash bytes well inside the first strip
     blob[12:20] = b"\xff" * 8
     assert codecs.count_frames(bytes(blob)) == 4
+
+
+def test_webp_header_dimensions():
+    import struct
+
+    def riff(payload):
+        return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" \
+            + payload
+
+    vp8x = riff(b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+                + (639).to_bytes(3, "little") + (359).to_bytes(3, "little"))
+    assert codecs.sniff_dimensions(vp8x) == (640, 360)
+
+    frame = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+             + struct.pack("<HH", 320, 240))
+    vp8 = riff(b"VP8 " + struct.pack("<I", len(frame)) + frame)
+    assert codecs.sniff_dimensions(vp8) == (320, 240)
+
+    bits = (127) | (63 << 14)  # w-1=127, h-1=63
+    vp8l = riff(b"VP8L" + struct.pack("<I", 5) + b"\x2f"
+                + struct.pack("<I", bits))
+    assert codecs.sniff_dimensions(vp8l) == (128, 64)
+
+    assert codecs.sniff_dimensions(riff(b"ANIM\x00\x00\x00\x00")) is None
