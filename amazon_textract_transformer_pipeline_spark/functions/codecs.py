@@ -7,7 +7,8 @@ This module closes the seam for every format a from-scratch decoder can
 cover from public specs using only the stdlib (``zlib``, ``struct``) and
 numpy:
 
-- **PNG** (W3C PNG spec / RFC 2083): non-interlaced, bit depth 8, color
+- **PNG** (W3C PNG spec / RFC 2083): bit depth 8 (sequential AND Adam7
+  interlaced), color
   types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five
   scanline filters; ``PLTE``/``tRNS`` honored; alpha composited over
   white (the reference thumbnails onto a white page, preproc.py:120);
@@ -136,6 +137,35 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     return out
 
 
+#: Adam7 passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _unfilter_adam7(raw: bytes, width: int, height: int,
+                    bpp: int) -> np.ndarray:
+    """Adam7 de-interlace: seven independently-filtered sub-images
+    scattered back onto the full canvas."""
+    out = np.zeros((height, width * bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = -(-(width - x0) // xs) if width > x0 else 0
+        ph = -(-(height - y0) // ys) if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        nbytes = ph * (pw * bpp + 1)
+        sub = _unfilter(raw[pos:pos + nbytes], pw, ph, bpp)
+        pos += nbytes
+        rows = np.arange(y0, height, ys)[:ph]
+        cols = np.arange(x0, width, xs)[:pw]
+        for ci, c in enumerate(cols):
+            out[rows, c * bpp:(c + 1) * bpp] = \
+                sub[:, ci * bpp:(ci + 1) * bpp]
+    if pos != len(raw):
+        raise ValueError("PNG: interlaced data size mismatch")
+    return out
+
+
 def _parse_exif_orientation(tiff: bytes) -> int | None:
     """Minimal TIFF IFD walk for tag 0x0112 (Orientation) — the payload of
     a PNG ``eXIf`` chunk is a bare TIFF blob (PNG eXIf spec)."""
@@ -194,9 +224,8 @@ def decode_png(blob: bytes) -> tuple[np.ndarray, int | None]:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("PNG: unknown compression/filter method")
-    if interlace != 0:
-        raise ValueError("PNG: Adam7 interlace not supported (re-encode "
-                         "non-interlaced or use the PIL seam)")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
     if depth != 8:
         raise ValueError(f"PNG: bit depth {depth} not supported (8 only)")
     if color not in _PNG_CHANNELS:
@@ -205,7 +234,10 @@ def decode_png(blob: bytes) -> tuple[np.ndarray, int | None]:
         raise ValueError("PNG: zero dimension")
     ch = _PNG_CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
-    px = _unfilter(raw, w, h, ch).reshape(h, w, ch)
+    if interlace == 1:
+        px = _unfilter_adam7(raw, w, h, ch).reshape(h, w, ch)
+    else:
+        px = _unfilter(raw, w, h, ch).reshape(h, w, ch)
 
     orientation = _parse_exif_orientation(exif_tiff) if exif_tiff else None
 
@@ -268,10 +300,13 @@ def _filter_row(ftype: int, cur: np.ndarray, prev: np.ndarray,
 
 
 def encode_png(arr: np.ndarray, filter_type: int | str = 0,
-               orientation: int | None = None) -> bytes:
+               orientation: int | None = None,
+               interlace: bool = False) -> bytes:
     """(h, w) | (h, w, {1,3,4}) uint8 → PNG bytes. ``filter_type`` is one
     of 0-4 applied to every row, or ``"mixed"`` (cycles 0→4 — exercises
-    every decoder path). ``orientation`` writes an eXIf chunk."""
+    every decoder path; ignored for interlaced output, which writes
+    filter 0 per sub-scanline). ``orientation`` writes an eXIf chunk;
+    ``interlace`` emits Adam7 pass order."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -279,21 +314,32 @@ def encode_png(arr: np.ndarray, filter_type: int | str = 0,
     color = {1: 0, 3: 2, 4: 6}.get(ch)
     if color is None:
         raise ValueError(f"encode_png: {ch}-channel input not supported")
-    flat = arr.reshape(h, w * ch)
     lines = bytearray()
-    prev = np.zeros(w * ch, dtype=np.uint8)
-    for y in range(h):
-        ft = (y % 5) if filter_type == "mixed" else int(filter_type)
-        lines.append(ft)
-        lines.extend(_filter_row(ft, flat[y], prev, ch).tobytes())
-        prev = flat[y]
+    if interlace:
+        for x0, y0, xs, ys in _ADAM7:
+            sub = arr[y0::ys, x0::xs]
+            if sub.size == 0:
+                continue
+            sflat = np.ascontiguousarray(sub).reshape(sub.shape[0], -1)
+            for y in range(sub.shape[0]):
+                lines.append(0)
+                lines.extend(sflat[y].tobytes())
+    else:
+        flat = arr.reshape(h, w * ch)
+        prev = np.zeros(w * ch, dtype=np.uint8)
+        for y in range(h):
+            ft = (y % 5) if filter_type == "mixed" else int(filter_type)
+            lines.append(ft)
+            lines.extend(_filter_row(ft, flat[y], prev, ch).tobytes())
+            prev = flat[y]
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
     out = bytearray(_PNG_SIG)
-    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0,
+                                      1 if interlace else 0))
     if orientation is not None:
         tiff = (b"II*\x00" + struct.pack("<I", 8)
                 + struct.pack("<H", 1)

@@ -97,14 +97,30 @@ def test_png_malformed_raises(mutate, msg):
         codecs.decode_png(mutate(blob))
 
 
-def test_png_interlace_rejected():
+@pytest.mark.parametrize("shape", [(13, 7), (8, 8), (1, 1), (2, 3),
+                                   (9, 16)])
+def test_png_adam7_interlace_roundtrip(shape):
+    h, w = shape
+    arr = _rgb(h, w, seed=h * 31 + w)
+    out, _ = codecs.decode_png(codecs.encode_png(arr, interlace=True))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_png_interlace_flag_mismatch_detected():
     import struct
+    # flipping the IHDR interlace byte on a sequential stream must fail
+    # loudly (pass sizes / filter bytes won't line up), not decode garbage
     blob = bytearray(codecs.encode_png(_rgb(3, 3, seed=6)))
-    # IHDR data starts at offset 16; interlace flag is its last byte
-    blob[16 + 12] = 1
-    with pytest.raises(ValueError, match="interlace"):
+    blob[16 + 12] = 1  # IHDR data starts at offset 16; interlace is last
+    ihdr = blob[16:29]
+    crc = __import__("zlib").crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF
+    struct.pack_into(">I", blob, 29, crc)
+    with pytest.raises(ValueError, match="PNG"):
         codecs.decode_png(bytes(blob))
-    assert struct.unpack_from(">I", blob, 8)  # sanity: still parseable hdr
+    # and an actually-truncated interlaced stream trips the size check
+    good = codecs.encode_png(_rgb(9, 9, seed=7), interlace=True)
+    with pytest.raises(ValueError, match="PNG"):
+        codecs.decode_png(good[:-60])
 
 
 # --------------------------------------------------------------------------
