@@ -7,8 +7,9 @@ This module closes the seam for every format a from-scratch decoder can
 cover from public specs using only the stdlib (``zlib``, ``struct``) and
 numpy:
 
-- **PNG** (W3C PNG spec / RFC 2083): bit depth 8 (sequential AND Adam7
-  interlaced), color
+- **PNG** (W3C PNG spec / RFC 2083): depth 8 (sequential AND Adam7
+  interlaced), depth 16 (MSB downsample), sub-byte depths 1/2/4 for
+  gray/palette (bilevel document scans); color
   types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five
   scanline filters; ``PLTE``/``tRNS`` honored; alpha composited over
   white (the reference thumbnails onto a white page, preproc.py:120);
@@ -95,10 +96,12 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
-    """PNG scanline unfiltering → (height, stride) uint8. Filters 0/1/2
-    vectorized; 3/4 per-byte (see module docstring)."""
-    stride = width * bpp
+def _unfilter(raw: bytes, stride: int, height: int, bpp: int) -> np.ndarray:
+    """PNG scanline unfiltering → (height, stride) uint8. ``stride`` is
+    the filtered byte width of a scanline (= width*bpp at depth 8;
+    ceil(width*depth/8) for sub-byte depths, where filtering operates on
+    bytes with bpp=1 per the spec). Filters 0/1/2 vectorized; 3/4
+    per-byte (see module docstring)."""
     if len(raw) != height * (stride + 1):
         raise ValueError(
             f"PNG IDAT size mismatch: got {len(raw)}, "
@@ -154,7 +157,7 @@ def _unfilter_adam7(raw: bytes, width: int, height: int,
         if pw == 0 or ph == 0:
             continue
         nbytes = ph * (pw * bpp + 1)
-        sub = _unfilter(raw[pos:pos + nbytes], pw, ph, bpp)
+        sub = _unfilter(raw[pos:pos + nbytes], pw * bpp, ph, bpp)
         pos += nbytes
         rows = np.arange(y0, height, ys)[:ph]
         cols = np.arange(x0, width, xs)[:pw]
@@ -226,18 +229,40 @@ def decode_png(blob: bytes) -> tuple[np.ndarray, int | None]:
         raise ValueError("PNG: unknown compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"PNG: unknown interlace method {interlace}")
-    if depth != 8:
-        raise ValueError(f"PNG: bit depth {depth} not supported (8 only)")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"PNG: color type {color} not supported")
     if w == 0 or h == 0:
         raise ValueError("PNG: zero dimension")
+    if depth not in (8,) and (interlace == 1):
+        raise ValueError(f"PNG: interlaced {depth}-bit not supported")
     ch = _PNG_CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
-    if interlace == 1:
-        px = _unfilter_adam7(raw, w, h, ch).reshape(h, w, ch)
+    if depth == 8:
+        if interlace == 1:
+            px = _unfilter_adam7(raw, w, h, ch).reshape(h, w, ch)
+        else:
+            px = _unfilter(raw, w * ch, h, ch).reshape(h, w, ch)
+    elif depth == 16 and color in (0, 2, 4, 6):
+        bpp = ch * 2
+        rows = _unfilter(raw, w * bpp, h, bpp)
+        # most-significant byte is the faithful 16→8 downsample
+        px = rows.reshape(h, w, ch, 2)[:, :, :, 0].copy()
+    elif depth in (1, 2, 4) and color in (0, 3):
+        # sub-byte depths: scanlines are bit-packed MSB-first, padded to
+        # whole bytes; filtering operates on those bytes with bpp=1
+        stride = -(-(w * depth) // 8)
+        rows = _unfilter(raw, stride, h, 1)
+        bits = np.unpackbits(rows, axis=1)[:, :w * depth]
+        vals = bits.reshape(h, w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        ix = (vals * weights).sum(axis=2).astype(np.uint8)
+        if color == 0:  # gray: scale to full range (255/(2^d-1))
+            ix = (ix.astype(np.uint16) * (255 // ((1 << depth) - 1))
+                  ).astype(np.uint8)
+        px = ix[:, :, None]
     else:
-        px = _unfilter(raw, w, h, ch).reshape(h, w, ch)
+        raise ValueError(
+            f"PNG: bit depth {depth} with color type {color} not supported")
 
     orientation = _parse_exif_orientation(exif_tiff) if exif_tiff else None
 

@@ -89,7 +89,7 @@ def test_png_palette_with_trns():
 
 @pytest.mark.parametrize("mutate,msg", [
     (lambda b: b[:-200], "truncated"),
-    (lambda b: b.replace(b"\x08\x02", b"\x10\x02", 1), "bit depth"),
+    (lambda b: b.replace(b"\x08\x02", b"\x03\x02", 1), "bit depth"),
 ])
 def test_png_malformed_raises(mutate, msg):
     blob = codecs.encode_png(_rgb(20, 20, seed=5))
@@ -513,3 +513,62 @@ def test_webp_header_dimensions():
     assert codecs.sniff_dimensions(vp8l) == (128, 64)
 
     assert codecs.sniff_dimensions(riff(b"ANIM\x00\x00\x00\x00")) is None
+
+
+# --------------------------------------------------------------------------
+# PNG depth variants: 1/2/4-bit gray+palette (document scans), 16-bit
+# --------------------------------------------------------------------------
+
+def _png_chunk(ctype, data):
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _png_file(w, h, depth, color, scanlines, extra=b""):
+    import struct
+    import zlib
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR",
+                         struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0))
+            + extra + _png_chunk(b"IDAT", zlib.compress(scanlines))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_1bit_gray_bilevel_scan():
+    bits = _rng(3).integers(0, 2, size=(3, 10), dtype=np.uint8)
+    lines = b"".join(b"\x00" + np.packbits(bits[y]).tobytes()
+                     for y in range(3))
+    out, _ = codecs.decode_png(_png_file(10, 3, 1, 0, lines))
+    np.testing.assert_array_equal(out[:, :, 0], bits * 255)
+
+
+def test_png_4bit_palette():
+    pal = _rng(4).integers(0, 256, size=(16, 3), dtype=np.uint8)
+    ix = _rng(5).integers(0, 16, size=(2, 5), dtype=np.uint8)
+
+    def pack4(row):
+        padded = np.concatenate([row, [0]]) if len(row) % 2 else row
+        return bytes((padded[0::2] << 4 | padded[1::2]).astype(np.uint8))
+
+    lines = b"".join(b"\x00" + pack4(ix[y]) for y in range(2))
+    out, _ = codecs.decode_png(_png_file(
+        5, 2, 4, 3, lines, extra=_png_chunk(b"PLTE", pal.tobytes())))
+    np.testing.assert_array_equal(out, pal[ix])
+
+
+def test_png_2bit_gray_scaling():
+    # 2-bit gray values 0..3 scale by 85 to 0/85/170/255
+    vals = np.array([[0, 1, 2, 3]], dtype=np.uint8)
+    packed = bytes([(0 << 6) | (1 << 4) | (2 << 2) | 3])
+    out, _ = codecs.decode_png(_png_file(4, 1, 2, 0, b"\x00" + packed))
+    np.testing.assert_array_equal(out[0, :, 0], vals[0] * 85)
+
+
+def test_png_16bit_msb_downsample():
+    px16 = _rng(6).integers(0, 65536, size=(2, 4, 3), dtype=np.uint16)
+    lines = b"".join(b"\x00" + px16[y].astype(">u2").tobytes()
+                     for y in range(2))
+    out, _ = codecs.decode_png(_png_file(4, 2, 16, 2, lines))
+    np.testing.assert_array_equal(out, (px16 >> 8).astype(np.uint8))
