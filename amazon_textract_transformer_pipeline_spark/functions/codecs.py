@@ -697,14 +697,19 @@ def _tiff_decode_ifd(blob: bytes, e: str, tags: dict) -> tuple[np.ndarray,
     return np.ascontiguousarray(rgb), orientation
 
 
-def decode_tiff_frames(blob: bytes) -> list[tuple[np.ndarray, int | None]]:
+def decode_tiff_frames(blob: bytes,
+                       max_frames: int | None = None,
+                       ) -> list[tuple[np.ndarray, int | None]]:
     """All frames of a (possibly multi-frame) TIFF, in IFD-chain order —
-    the D3 multi-frame walk, natively."""
+    the D3 multi-frame walk, natively. ``max_frames`` caps the walk (and
+    the per-frame canvas copies held in memory)."""
     e = _tiff_endian(blob)
     (off,) = struct.unpack_from(e + "I", blob, 4)
     frames = []
     seen = set()
     while off and off not in seen and off + 2 <= len(blob):
+        if max_frames is not None and len(frames) >= max_frames:
+            break
         seen.add(off)  # cycle guard
         tags, off = _tiff_read_ifd(blob, e, off)
         frames.append(_tiff_decode_ifd(blob, e, tags))

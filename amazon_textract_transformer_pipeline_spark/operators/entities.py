@@ -183,9 +183,14 @@ def normalize_mentions(mentions: DataFrame, config_df: DataFrame,
         ).distinct()
     )
     results = normalizer(requests)  # endpoint, input, output
+    # No broadcast hint: `results` has one row per *distinct* (endpoint,
+    # prompt+text) across the whole corpus — its cardinality is
+    # input-dependent and unbounded (fine for dates, huge for free-text
+    # fields). Let AQE pick the build side from measured sizes, same
+    # stance as dedup.py's verification joins.
     normed = (
         to_norm.join(
-            F.broadcast(results),
+            results,
             (F.col("NormalizerEndpoint") == F.col("endpoint"))
             & (F.concat(F.col("NormalizerPrompt"), F.col("Text")) == F.col("input")),
             "left",

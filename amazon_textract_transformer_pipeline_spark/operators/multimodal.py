@@ -369,14 +369,21 @@ def auto_decode_fn(blob: bytes):
 def multiframe_thumbnails(media: DataFrame, size=(224, 224),
                           letterbox_color=(128, 128, 128),
                           default_square: bool = True,
-                          max_size: int | None = None) -> DataFrame:
+                          max_size: int | None = None,
+                          max_frames: int | None = 64) -> DataFrame:
     """D3 for real containers: walk EVERY frame of each blob (TIFF IFD
     chain, GIF image-descriptor walk via the built-in codecs — the
     reference's PIL ``seek(i)`` loop, image_utils.py:510-558;
     single-frame formats pass through as frame 0)
     then run the D4+D5 rotate/resize kernels per frame. Emits
     THUMBNAIL_SCHEMA rows with the in-container ``frame_ix``, which is what
-    keys the npz bundle's ``frame_NNNN`` ordering."""
+    keys the npz bundle's ``frame_NNNN`` ordering.
+
+    ``max_frames`` (default 64) bounds the walk — decode_gif_frames holds
+    a full canvas copy per decoded frame, so an unbounded walk over a
+    long animated GIF could exhaust executor memory inside the Arrow
+    stage before the per-record error handler ever fires. Pass ``None``
+    for the unbounded walk if the corpus is known-small-frame-count."""
     from ..functions import codecs
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -387,9 +394,11 @@ def multiframe_thumbnails(media: DataFrame, size=(224, 224),
                 try:
                     fmt = codecs.sniff_format(blob)
                     if fmt == "tiff":
-                        frames = codecs.decode_tiff_frames(blob)
+                        frames = codecs.decode_tiff_frames(
+                            blob, max_frames=max_frames)
                     elif fmt == "gif":
-                        frames = codecs.decode_gif_frames(blob)
+                        frames = codecs.decode_gif_frames(
+                            blob, max_frames=max_frames)
                     else:
                         frames = [auto_decode_fn(blob)]
                     for fix, (arr, orient) in enumerate(frames):

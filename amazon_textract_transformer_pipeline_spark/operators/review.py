@@ -89,10 +89,16 @@ def apply_review(fields: DataFrame, reviews: DataFrame) -> DataFrame:
 
     is_multi = F.col("Value").isNull()
     n_rvals = F.size(F.coalesce(F.col("_rvalues"), F.expr(_EMPTY_STR_ARR)))
-    found = F.coalesce(F.col("_has_review"), F.lit(False)) & (
-        (F.col("_present") == F.lit(False))
-        | (is_multi & (n_rvals > 0))
-        | (~is_multi & (F.coalesce("_rvalue", F.lit("")) != ""))
+    # Outer coalesce: with present=NULL and no value the inner OR is
+    # three-valued NULL, which merge-WHENs treat as false but would leak a
+    # NULL into the boolean `reviewed` output column — pin it to false.
+    found = F.coalesce(
+        F.col("_has_review") & (
+            (F.col("_present") == F.lit(False))
+            | (is_multi & (n_rvals > 0))
+            | (~is_multi & (F.coalesce("_rvalue", F.lit("")) != ""))
+        ),
+        F.lit(False),
     )
     # set equality both directions = sorted distinct arrays equal
     model_vals = F.array_sort(F.array_distinct(

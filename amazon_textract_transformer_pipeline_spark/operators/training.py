@@ -17,8 +17,10 @@ def stratified_first_page_sample(manifest: DataFrame, fraction: float,
     draws page-1 records for annotation)."""
     base = manifest
     if exclude is not None:
-        base = base.join(F.broadcast(exclude.select(key_col)), key_col,
-                         "left_anti")
+        # No broadcast hint: the exclusion set is caller-supplied and its
+        # size is input-dependent; AQE picks the build side from measured
+        # sizes (same rule as entities.normalize_mentions).
+        base = base.join(exclude.select(key_col), key_col, "left_anti")
     strat = base.withColumn("_first", F.col(page_col) == 1)
     return (
         strat.sampleBy("_first", {True: fraction, False: 0.0}, seed=seed)

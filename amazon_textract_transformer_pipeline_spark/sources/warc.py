@@ -16,20 +16,31 @@ Arrow-batched ``mapInPandas`` stage that gunzips, walks records, keeps
 ``response``/``resource`` records, strips the HTTP envelope, and emits
 rows in ``PAGES_INPUT_SCHEMA`` (url, warc_ts, html, text=NULL, lang=NULL
 — ``text`` is this engine's *output*, computed by the extraction
-pipeline). Decompression is in-task and whole-file (~4-5× expansion);
-size executor memory for max_file_bytes accordingly or split archives
-upstream — documented trade, same as every distributed WARC reader.
+pipeline).
 
-Python's stdlib ``gzip`` handles member-concatenated files natively, so
-there are no third-party deps. A fixture writer (:func:`write_warc_gz`)
-emits spec-shaped member-per-record archives for tests and synthetic
-corpora.
+Memory profile: decompression is **member-at-a-time**
+(:func:`iter_gzip_members`, a ``zlib.decompressobj`` loop over the gzip
+member chain). Because the Common-Crawl layout puts exactly one record
+per gzip member, task memory for the decode stage is bounded by the
+*largest single record* (~1 MB typical, spec-capped by crawler truncation
+limits), NOT the ~5 GB a whole decompressed archive would occupy — only
+the compressed blob (~1 GB, the ``binaryFile`` row) plus one record is
+ever resident. Archives written as a single gzip member degrade
+gracefully to whole-archive decompression (one "member" = everything),
+which is the correctness-preserving worst case. Output rows are flushed
+to Arrow in fixed-size chunks so the pandas staging buffer is bounded
+too.
+
+Everything is stdlib (``zlib``/``gzip``) — no third-party deps. A
+fixture writer (:func:`write_warc_gz`) emits spec-shaped
+member-per-record archives for tests and synthetic corpora.
 """
 
 from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
 
@@ -40,6 +51,46 @@ from ..schemas import PAGES_INPUT_SCHEMA
 
 _CRLF = b"\r\n"
 _KEEP_TYPES = {"response", "resource"}
+
+
+def iter_gzip_members(raw: bytes) -> Iterator[bytes]:
+    """Yield the decompressed bytes of each gzip member in ``raw``, one at
+    a time — the streaming alternative to ``gzip.decompress`` (which
+    materializes the whole ~4-5× expansion at once). In the Common-Crawl
+    member-per-record layout each yield is exactly one WARC record, so
+    peak decompressed residency = max record size, not archive size.
+
+    Non-gzip input is yielded whole (uncompressed ``.warc``)."""
+    if raw[:2] != b"\x1f\x8b":
+        yield raw
+        return
+    # Compressed input is fed in fixed chunks (zero-copy memoryview
+    # slices): ``unused_data`` after a member boundary is then at most one
+    # chunk, so total work is O(archive) — handing zlib the whole
+    # remaining buffer per member would copy the tail into unused_data
+    # every iteration (O(members × archive)).
+    chunk_sz = 1 << 18
+    mv = memoryview(raw)
+    pos, n = 0, len(raw)
+    while pos < n:
+        if raw[pos:pos + 2] != b"\x1f\x8b":
+            break  # trailing garbage after the last member — done
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        parts = []
+        feed = pos
+        try:
+            while not d.eof and feed < n:
+                end = min(feed + chunk_sz, n)
+                parts.append(d.decompress(mv[feed:end]))
+                feed = end
+        except zlib.error:
+            if parts:
+                yield b"".join(parts)
+            return  # corrupt member: salvage its prefix, stop the walk
+        yield b"".join(parts)
+        if not d.eof:  # truncated final member: emitted what we got
+            break
+        pos = feed - len(d.unused_data)
 
 
 def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
@@ -82,10 +133,14 @@ def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
         yield headers, body
 
 
-def strip_http_envelope(body: bytes) -> bytes:
+def strip_http_envelope(body: bytes, warc_type: str | None = "response") -> bytes:
     """``response`` record payloads are full HTTP messages; the page bytes
     start after the header block. ``resource`` records carry raw content
-    and pass through unchanged."""
+    and pass through unchanged — even when that raw content legitimately
+    begins with ``HTTP/`` (the strip is gated on the record type, not a
+    body-prefix sniff)."""
+    if warc_type != "response":
+        return body
     if body[:5] in (b"HTTP/", b"http/"):
         cut = body.find(_CRLF + _CRLF)
         if cut >= 0:
@@ -119,7 +174,7 @@ def records_to_page_rows(raw: bytes) -> Iterator[dict]:
         yield {
             "url": url,
             "warc_ts": parse_warc_date(headers.get("warc-date")),
-            "html": strip_http_envelope(body),
+            "html": strip_http_envelope(body, headers.get("warc-type")),
             "text": None,
             "lang": None,
         }
@@ -143,12 +198,17 @@ def read_warc(spark: SparkSession, path: str,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in PAGES_INPUT_SCHEMA]
+        flush_rows = 512  # bound the pandas staging buffer, not just zlib
         for b in batches:
             for content in b["content"]:
-                raw = bytes(content)
-                if raw[:2] == b"\x1f\x8b":
-                    raw = gzip.decompress(raw)  # multi-member per stdlib
-                rows = list(records_to_page_rows(raw))
+                rows: list[dict] = []
+                # member-at-a-time: peak decompressed residency = one
+                # record (Common-Crawl layout), not the whole archive
+                for member in iter_gzip_members(bytes(content)):
+                    rows.extend(records_to_page_rows(member))
+                    if len(rows) >= flush_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 

@@ -99,3 +99,50 @@ def test_warc_overstated_length_resyncs():
     rows = list(records_to_page_rows(good + liar + tail))
     assert [r["url"] for r in rows] == ["http://a/", "http://b/", "http://c/"]
     assert bytes(rows[2]["html"]) == b"bye"
+
+
+def test_iter_gzip_members_streams_member_at_a_time():
+    """Member chain walk: each yield is exactly one member's bytes; a
+    truncated final member salvages its decodable prefix; non-gzip input
+    passes through whole; trailing garbage stops the walk cleanly."""
+    import gzip as _gz
+
+    from amazon_textract_transformer_pipeline_spark.sources.warc import (
+        iter_gzip_members,
+    )
+
+    members = [b"alpha" * 100, b"b", b"", b"gamma" * 5000]
+    raw = b"".join(_gz.compress(m) for m in members)
+    assert list(iter_gzip_members(raw)) == members
+
+    # non-gzip: passthrough
+    assert list(iter_gzip_members(b"WARC/1.0\r\n")) == [b"WARC/1.0\r\n"]
+
+    # trailing garbage after the last member: members still all decode
+    assert list(iter_gzip_members(raw + b"\x00garbage")) == members
+
+    # truncated final member: prefix of earlier members intact, no raise
+    cut = raw[: len(raw) - 20]
+    got = list(iter_gzip_members(cut))
+    assert got[:3] == members[:3] and len(got) == 4
+    assert members[3].startswith(got[3])
+
+    # corrupt middle member: earlier members intact, walk stops, no raise
+    bad = bytearray(raw)
+    bad[len(_gz.compress(members[0])) + 12] ^= 0xFF
+    got = list(iter_gzip_members(bytes(bad)))
+    assert got[0] == members[0]
+
+
+def test_strip_http_envelope_gated_on_record_type():
+    """A *resource* record whose raw content legitimately begins with
+    'HTTP/' must pass through unchanged — the strip is response-only."""
+    payload = b"HTTP/1.1 is a protocol\r\n\r\nbody text"
+    assert strip_http_envelope(payload, "resource") == payload
+    assert strip_http_envelope(payload, "response") == b"body text"
+
+    rec = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+           b"WARC-Target-URI: http://doc/\r\n"
+           b"Content-Length: %d\r\n\r\n" % len(payload)) + payload + b"\r\n\r\n"
+    rows = list(records_to_page_rows(rec))
+    assert bytes(rows[0]["html"]) == payload
