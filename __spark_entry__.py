@@ -113,6 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
         "multimodal_metadata": Q.q_multimodal_metadata,
+        # PDF front door: native xref/page-tree/content-stream parse
+        "pdf_metadata": Q.q_pdf_metadata,
+        "pdf_extract": Q.q_pdf_extract,
     }
 
 
@@ -431,6 +434,35 @@ SELECT i AS media_id,
          AS n_bytes,
        true AS valid
 FROM range(0, 200) t(i)"""
+
+    # pdf oracles: the synthetic PDF corpus (multimodal.synth_pdf_df) is a
+    # closed-form function of media_id — dims 300+(i%5)*60 × 400+(i%4)*80,
+    # 1+i%4 pages, 1+(i+p)%3 lines of 'doc i page p line j tokK' — so the
+    # whole native parser (xref tables/streams/predictors/ObjStm, page
+    # tree, content-stream interpreter, assembly) verifies against the
+    # spec, not against itself.
+    sqls["pdf_metadata"] = """
+SELECT i AS media_id,
+       cast(300 + (i % 5) * 60 AS int) AS width,
+       cast(400 + (i % 4) * 80 AS int) AS height,
+       cast(1 + i % 4 AS int) AS n_pages,
+       false AS encrypted,
+       true AS valid
+FROM range(0, 120) t(i)"""
+
+    sqls["pdf_extract"] = """
+WITH pages AS (
+  SELECT i, p FROM range(0, 120) t(i), range(0, 4) pr(p)
+  WHERE p < 1 + i % 4),
+lines AS (
+  SELECT i, p, j FROM pages, range(0, 3) lr(j)
+  WHERE j < 1 + (i + p) % 3)
+SELECT 'pdf://' || i AS url,
+       cast(1 + i % 4 AS int) AS n_pages,
+       string_agg('doc ' || i || ' page ' || p || ' line ' || j ||
+                  ' tok' || ((i*7 + p*3 + j) % 100),
+                  chr(10) ORDER BY p, j) AS extracted_text
+FROM lines GROUP BY i"""
 
     # split_windows oracle: recursive-CTE replay of the greedy splitter
     # (oracle.py::split_windows_oracle) — was rows-only in round 1

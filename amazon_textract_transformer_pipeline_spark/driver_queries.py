@@ -24,7 +24,12 @@ from .operators.enrich import stub_predictions
 from .operators.entities import extract_mentions
 from .operators.frontend import html_to_words
 from .operators.labels import merge_annotation_boxes, word_single_labels
-from .operators.multimodal import decode_metadata, synth_media_df
+from .operators.multimodal import (
+    decode_metadata,
+    pdf_structure_metadata,
+    synth_media_df,
+    synth_pdf_df,
+)
 from .operators.smgt import smgt_to_seq2seq_examples
 from .operators.webclean import canonical_url_sql, remove_boilerplate_lines
 from .operators.splitting import split_pages_to_window_bounds
@@ -495,6 +500,28 @@ def q_g4_box_merge(spark, sf_dir) -> DataFrame:
 def q_multimodal_metadata(spark, sf_dir) -> DataFrame:
     return decode_metadata(synth_media_df(spark, 200)).select(
         "media_id", "width", "height", "format", "n_bytes", "valid")
+
+
+def q_pdf_metadata(spark, sf_dir) -> DataFrame:
+    """PDF structure metadata over the six-dialect synthetic corpus:
+    page-1 MediaBox point dims + page count + encrypted flag via the
+    native xref/page-tree walk (functions/pdf.py) — checked against the
+    closed-form generator spec, so classic xref, xref streams, PNG
+    predictors, and object streams all verify end-to-end. Map-only."""
+    return pdf_structure_metadata(synth_pdf_df(spark, 120)).select(
+        "media_id", "width", "height", "n_pages", "encrypted", "valid")
+
+
+def q_pdf_extract(spark, sf_dir) -> DataFrame:
+    """PDF → byte-identical text through the SAME extraction pipeline as
+    HTML (frontend dispatch on the %PDF- magic → content-stream
+    interpreter → identical assembly): the reference's D2 'PDF is just
+    another document container' contract. Map-only, zero shuffle."""
+    pdfs = synth_pdf_df(spark, 120).select(
+        F.concat(F.lit("pdf://"), F.col("media_id")).alias("url"),
+        F.col("blob").alias("html"))
+    return assemble_text(html_to_words(pdfs)).select(
+        "url", "n_pages", "extracted_text")
 
 
 def q_tumbling_windows(spark, sf_dir) -> DataFrame:

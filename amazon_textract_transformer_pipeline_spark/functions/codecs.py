@@ -79,6 +79,8 @@ def sniff_format(blob: bytes) -> str | None:
         return "webp"
     if len(blob) >= 12 and blob[4:8] == b"ftyp":
         return "mp4"
+    if blob.startswith(b"%PDF-"):
+        return "pdf"
     return None
 
 
@@ -755,6 +757,9 @@ def count_frames(blob: bytes) -> int:
         return n
     if fmt == "gif":
         return _gif_count_descriptors(blob)
+    if fmt == "pdf":
+        from .pdf import pdf_meta
+        return pdf_meta(blob)["n_pages"]
     return 1
 
 
@@ -1221,6 +1226,11 @@ def sniff_dimensions(blob: bytes) -> tuple[int, int] | None:
             if m["width"] and m["height"]:
                 return int(m["width"]), int(m["height"])
             return None
+        if fmt == "pdf":
+            # page-1 MediaBox in whole points (structure walk only; PDFs
+            # are scalable — pdf.render_plan gives the 300-DPI pixel dims)
+            from .pdf import pdf_page_dims
+            return pdf_page_dims(blob)
         if fmt == "jpeg":
             pos = 2
             while pos + 4 <= len(blob):

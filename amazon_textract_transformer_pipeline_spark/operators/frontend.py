@@ -182,6 +182,58 @@ def pages_to_struct(url: str, pages: list[list[list[str]]]) -> list[dict]:
     return out
 
 
+def pdf_pages_to_struct(url: str, pdf_pages: list[dict]) -> list[dict]:
+    """§1.2 word structs from the native PDF content-stream parse
+    (functions/pdf.py) — unlike the HTML path, these boxes are REAL page
+    geometry: content-stream baselines/advances normalized by the page
+    MediaBox to the same 0-1 page-relative space OCR boxes use
+    (ocr_engines/base.py:63-68). Deterministic conf/ids use the identical
+    key scheme as the HTML front-end, so every downstream operator
+    (reading order, labels, entities, resume) treats both sources
+    identically. Empty pages dropped (D8)."""
+    out = []
+    page_num = 0
+    for page in pdf_pages:
+        lines = [ln for ln in page["lines"] if ln["words"]]
+        if not lines:
+            continue
+        page_num += 1
+        w_pt = page["width_pt"] or 1.0
+        h_pt = page["height_pt"] or 1.0
+        words = []
+        for l_ix, ln in enumerate(lines):
+            for w_ix, wd in enumerate(ln["words"]):
+                key = f"{url}|p{page_num}|l{l_ix}|w{w_ix}"
+                left = min(max(wd["x"] / w_pt, 0.0), 1.0)
+                top = min(max((h_pt - wd["y"] - wd["h"]) / h_pt, 0.0), 1.0)
+                words.append({
+                    "text": wd["text"],
+                    "conf": _conf(key),
+                    "id": _word_id(key),
+                    "line_id": l_ix,
+                    "box": {"left": left, "top": top,
+                            "width": min(max(wd["w"] / w_pt, 0.0), 1.0),
+                            "height": min(max(wd["h"] / h_pt, 0.0), 1.0)},
+                })
+        out.append({"page_num": page_num, "words": words})
+    return out
+
+
+def parse_document_struct(url: str, payload) -> list[dict]:
+    """Front-end dispatch: ``%PDF-`` payloads → native PDF content-stream
+    parse with real geometry; everything else → the HTML main-content
+    parser with synthetic geometry. One contract out (§1.2 page structs),
+    two engines in — the reference's pluggable-OCR-engine seam
+    (ocr_engines/base.py:18-39) re-expressed as payload sniffing."""
+    if payload is not None and bytes(payload[:5]) == b"%PDF-":
+        from ..functions.pdf import pdf_extract_words
+        try:
+            return pdf_pages_to_struct(url, pdf_extract_words(bytes(payload)))
+        except (ValueError, IndexError, KeyError, TypeError):
+            return []  # warn-don't-fail: unparseable PDF → empty doc
+    return pages_to_struct(url, parse_html(payload))
+
+
 def html_to_words(pages_df: DataFrame) -> DataFrame:
     """The front-end stage: input table (§1.6) → doc-grain word view (§1.2).
 
@@ -204,7 +256,7 @@ def html_to_words(pages_df: DataFrame) -> DataFrame:
         for b in batches:
             urls = b.column(b.schema.get_field_index("url")).to_pylist()
             htmls = b.column(b.schema.get_field_index("html")).to_pylist()
-            parsed = [pages_to_struct(u, parse_html(h))
+            parsed = [parse_document_struct(u, h)
                       for u, h in zip(urls, htmls)]
             yield pa.RecordBatch.from_arrays(
                 [pa.array(urls, type=pa.string()),

@@ -68,6 +68,44 @@ def synth_media_df(spark, n: int, seed: int = 42, partitions: int | None = None)
     return rng.mapInPandas(gen, schema=schema)
 
 
+def synth_pdf_df(spark, n: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic PDF corpus: (media_id, blob). Closed-form
+    in media_id (dims/page-count/line text below mirror the DuckDB gate
+    oracle exactly), cycling through all six structural dialects of
+    functions/pdf.write_pdf so the gate exercises classic xref, Flate
+    content, xref streams, PNG-predictored xref streams, and object
+    streams in one pass."""
+    from ..functions.pdf import write_pdf
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+    ])
+    dialects = [{}, {"compress": True}, {"xref_stream": True},
+                {"xref_stream": True, "predictor": True},
+                {"objstm": True}, {"objstm": True, "compress": True}]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                pages = []
+                for p in range(1 + i % 4):
+                    lines = [
+                        f"doc {i} page {p} line {j} tok{(i*7 + p*3 + j) % 100}"
+                        for j in range(1 + (i + p) % 3)]
+                    pages.append({"width": 300 + (i % 5) * 60,
+                                  "height": 400 + (i % 4) * 80,
+                                  "lines": lines})
+                rows.append({"media_id": i,
+                             "blob": write_pdf(pages, **dialects[i % 6])})
+            yield pd.DataFrame(rows)
+
+    rng = spark.range(0, n, 1, partitions or 8)
+    return rng.mapInPandas(gen, schema=schema)
+
+
 META_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("width", T.IntegerType(), True),
@@ -76,6 +114,46 @@ META_SCHEMA = T.StructType([
     T.StructField("n_bytes", T.LongType(), False),
     T.StructField("valid", T.BooleanType(), False),
 ])
+
+PDF_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_pages", T.IntegerType(), True),
+    T.StructField("encrypted", T.BooleanType(), True),
+    T.StructField("valid", T.BooleanType(), False),
+])
+
+
+def pdf_structure_metadata(media: DataFrame) -> DataFrame:
+    """D1/D2 for PDFs: structure-only metadata (page-1 point dims,
+    page count, encrypted flag) via the native parser — no rasterization,
+    no content decode. Map-only Arrow stage; error → valid=false row."""
+    from ..functions import pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PDF_META_SCHEMA]
+        for b in batches:
+            rows = []
+            for mid, blob in zip(b["media_id"], b["blob"]):
+                try:
+                    m = pdf.pdf_meta(bytes(blob))
+                    p0 = m["pages"][0] if m["pages"] else None
+                    rows.append({
+                        "media_id": int(mid),
+                        "width": round(p0["width_pt"]) if p0 else None,
+                        "height": round(p0["height_pt"]) if p0 else None,
+                        "n_pages": m["n_pages"],
+                        "encrypted": m["encrypted"],
+                        "valid": True})
+                except Exception:
+                    rows.append({"media_id": int(mid), "width": None,
+                                 "height": None, "n_pages": None,
+                                 "encrypted": None, "valid": False})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "blob").mapInPandas(
+        run, schema=PDF_META_SCHEMA)
 
 
 def decode_metadata(media: DataFrame) -> DataFrame:
@@ -345,10 +423,37 @@ def pil_decode_fn(blob: bytes):
     return np.asarray(img.convert("RGB")), orientation
 
 
+def pdf_rasterize_fn(blob: bytes, page: int = 0, dpi: int = 300):
+    """PDF rasterizer seam — import-gated like :func:`pil_decode_fn`.
+    Structure + text extraction are native (functions/pdf.py); *pixel*
+    rendering needs a rasterizer. Honors the reference's 300-DPI
+    convention (``image_utils.py:560-582``, scalable registry rows
+    ``image_utils.py:27-42``); functions/pdf.render_plan computes the
+    output pixel geometry either way."""
+    try:
+        import pypdfium2  # type: ignore
+    except ImportError:
+        try:
+            import pdf2image  # type: ignore
+        except ImportError as e:  # pragma: no cover — no renderer here
+            raise NotImplementedError(
+                "pdf_rasterize_fn needs pypdfium2 or pdf2image; this "
+                "environment ships neither. PDF structure/metadata/text "
+                "decode natively (functions/pdf.py) — only pixel "
+                "rasterization is seamed.") from e
+        imgs = pdf2image.convert_from_bytes(
+            bytes(blob), dpi=dpi, first_page=page + 1, last_page=page + 1)
+        return np.asarray(imgs[0].convert("RGB")), None
+    doc = pypdfium2.PdfDocument(bytes(blob))
+    bitmap = doc[page].render(scale=dpi / 72.0)
+    return np.asarray(bitmap.to_pil().convert("RGB")), None
+
+
 def auto_decode_fn(blob: bytes):
     """Dispatching codec seam: FAKE1 fixtures → :func:`fake_decode_array`;
     png/bmp/ppm/pgm/tiff/gif → the zero-dependency built-in codecs
-    (functions/codecs.py); everything else → PIL when importable. Failures
+    (functions/codecs.py); pdf → :func:`pdf_rasterize_fn` (page 1 at the
+    reference's 300 DPI); everything else → PIL when importable. Failures
     raise ValueError, which :func:`thumbnail_images` turns into the
     per-record ``error`` column — one bad blob never fails the stage."""
     from ..functions import codecs
@@ -356,8 +461,13 @@ def auto_decode_fn(blob: bytes):
     blob = bytes(blob)
     if blob[:len(_MAGIC)] == _MAGIC:
         return fake_decode_array(blob)
-    if codecs.sniff_format(blob) in ("png", "bmp", "ppm", "pgm",
-                                    "tiff", "gif"):
+    fmt = codecs.sniff_format(blob)
+    if fmt == "pdf":
+        try:
+            return pdf_rasterize_fn(blob)
+        except NotImplementedError as e:
+            raise ValueError(str(e)) from e
+    if fmt in ("png", "bmp", "ppm", "pgm", "tiff", "gif"):
         return codecs.builtin_decode_fn(blob)
     try:
         import PIL.Image  # noqa: F401

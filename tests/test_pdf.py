@@ -1,0 +1,214 @@
+"""PDF front door (functions/pdf.py): structure parse across all writer
+dialects, page-tree inheritance, content-stream interpretation, sniff
+integration, frontend dispatch, and hostile-input behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from amazon_textract_transformer_pipeline_spark.functions import codecs, pdf
+
+PAGES = [
+    {"width": 612, "height": 792, "lines": ["Hello world one",
+                                            "second line here"]},
+    {"width": 500, "height": 400, "rotate": 90, "lines": ["rotated page"]},
+    {"width": 300, "height": 300, "lines": []},  # empty page
+]
+WANT_TEXT = "Hello world one\nsecond line here\frotated page"
+
+DIALECTS = [
+    {},
+    {"compress": True},
+    {"xref_stream": True},
+    {"xref_stream": True, "predictor": True},
+    {"objstm": True},
+    {"objstm": True, "predictor": True, "compress": True},
+]
+
+
+@pytest.mark.parametrize("kw", DIALECTS,
+                         ids=["classic", "flate", "xrefstm", "pred",
+                              "objstm", "objstm-pred-flate"])
+def test_roundtrip_every_dialect(kw):
+    blob = pdf.write_pdf(PAGES, **kw)
+    m = pdf.pdf_meta(blob)
+    assert m["n_pages"] == 3
+    assert not m["encrypted"]
+    assert (m["pages"][0]["width_pt"], m["pages"][0]["height_pt"]) == \
+        (612.0, 792.0)
+    # /Rotate 90 swaps display dims
+    assert (m["pages"][1]["width_pt"], m["pages"][1]["height_pt"]) == \
+        (400.0, 500.0)
+    assert m["pages"][1]["rotate"] == 90
+    assert pdf.pdf_extract_text(blob) == WANT_TEXT
+
+
+def test_version_and_dialect_bump():
+    assert pdf.pdf_meta(pdf.write_pdf(PAGES))["version"] == "1.4"
+    assert pdf.pdf_meta(
+        pdf.write_pdf(PAGES, xref_stream=True))["version"] == "1.5"
+
+
+def test_encrypted_flag_both_trailer_forms():
+    for kw in ({}, {"xref_stream": True}):
+        blob = pdf.write_pdf(PAGES[:1], encrypted_flag=True, **kw)
+        assert pdf.pdf_meta(blob)["encrypted"] is True
+
+
+def test_broken_xref_scan_fallback():
+    blob = pdf.write_pdf(PAGES)
+    bad = blob.replace(b"startxref", b"sturtxref")
+    m = pdf.pdf_meta(bad)
+    assert m["n_pages"] == 3
+    assert pdf.pdf_extract_text(bad) == WANT_TEXT
+
+
+def test_lying_stream_length_recovers():
+    blob = pdf.write_pdf(PAGES[:1])
+    # overstate a /Length so the endstream probe has to correct it
+    bad = blob.replace(b"/Length ", b"/Length 9", 1)
+    assert "Hello world one" in pdf.pdf_extract_text(bad)
+
+
+def test_mediabox_inheritance_from_pages_node():
+    # no xref at all → scan fallback; MediaBox only on the /Pages node
+    raw = (b"%PDF-1.4\n"
+           b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+           b"2 0 obj << /Type /Pages /Count 1 /MediaBox [0 0 200 100] "
+           b"/Kids [3 0 R] >> endobj\n"
+           b"3 0 obj << /Type /Page /Parent 2 0 R >> endobj\n"
+           b"trailer << /Root 1 0 R /Size 4 >>\n")
+    m = pdf.pdf_meta(raw)
+    assert m["n_pages"] == 1
+    assert (m["pages"][0]["width_pt"], m["pages"][0]["height_pt"]) == \
+        (200.0, 100.0)
+
+
+def test_missing_mediabox_defaults_to_letter():
+    raw = (b"%PDF-1.4\n"
+           b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+           b"2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R] >> endobj\n"
+           b"3 0 obj << /Type /Page /Parent 2 0 R >> endobj\n"
+           b"trailer << /Root 1 0 R >>\n")
+    p = pdf.pdf_meta(raw)["pages"][0]
+    assert (p["width_pt"], p["height_pt"]) == (612.0, 792.0)
+
+
+def test_content_stream_operators():
+    # TJ kerning joins into one word and widens it by -n/1000*size
+    raw = (b"%PDF-1.4\n"
+           b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+           b"2 0 obj << /Type /Pages /Count 1 /MediaBox [0 0 300 300] "
+           b"/Kids [3 0 R] >> endobj\n"
+           b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+           b"4 0 obj << /Length 75 >>\nstream\n"
+           b"BT /F1 10 Tf 10 50 Td [(AB) -500 (CD)] TJ "
+           b"1 0 0 1 10 30 Tm <4849> Tj ET\n"
+           b"endstream endobj\n"
+           b"trailer << /Root 1 0 R >>\n")
+    pages = pdf.pdf_extract_words(raw)
+    words = [w for ln in pages[0]["lines"] for w in ln["words"]]
+    assert [w["text"] for w in words] == ["ABCD", "HI"]
+    ab = words[0]
+    assert ab["x"] == pytest.approx(10.0)
+    assert ab["w"] == pytest.approx(4 * 6.0 + 5.0)  # 0.6em*10pt + kern
+    assert words[1]["y"] == pytest.approx(30.0)  # Tm repositioned
+    assert pdf.pdf_extract_text(raw) == "ABCD\nHI"
+
+
+def test_string_escapes_and_quote_ops():
+    raw = (b"%PDF-1.4\n"
+           b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+           b"2 0 obj << /Type /Pages /Count 1 /MediaBox [0 0 300 300] "
+           b"/Kids [3 0 R] >> endobj\n"
+           b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+           b"4 0 obj << /Length 74 >>\nstream\n"
+           b"BT /F1 10 Tf 14 TL 10 60 Td (a\\(b\\)c \\101) Tj (next) ' ET\n"
+           b"endstream endobj\n"
+           b"trailer << /Root 1 0 R >>\n")
+    # \101 octal = 'A'; ' = T* + Tj → second line
+    assert pdf.pdf_extract_text(raw) == "a(b)c A\nnext"
+
+
+def test_sniff_integration():
+    blob = pdf.write_pdf(PAGES)
+    assert codecs.sniff_format(blob) == "pdf"
+    assert codecs.sniff_dimensions(blob) == (612, 792)
+    assert codecs.count_frames(blob) == 3
+    assert pdf.render_plan(612, 792) == (2550, 3300)  # US Letter @300dpi
+    assert pdf.render_plan(612, 792, dpi=72) == (612, 792)
+
+
+def test_decode_metadata_routes_pdf(spark):
+    from amazon_textract_transformer_pipeline_spark.operators.multimodal import (
+        decode_metadata,
+        synth_pdf_df,
+    )
+    out = decode_metadata(synth_pdf_df(spark, 12, partitions=2)) \
+        .orderBy("media_id").collect()
+    assert all(r.format == "pdf" and r.valid for r in out)
+    assert out[0].width == 300 and out[0].height == 400
+    assert out[3].width == 480
+
+
+def test_frontend_dispatch_real_geometry(spark):
+    """PDFs flow through html_to_words with content-stream geometry:
+    boxes are real (margin 72pt of 612pt wide page → left ≈ 0.1176)."""
+    from amazon_textract_transformer_pipeline_spark.operators.assembly import (
+        assemble_text,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.frontend import (
+        html_to_words,
+    )
+
+    blob = pdf.write_pdf(PAGES)
+    df = spark.createDataFrame(
+        [("pdf://x", bytearray(blob)), ("html://y", bytearray(
+            b"<html><body><article><p>plain html words</p>"
+            b"</article></body></html>"))],
+        "url string, html binary")
+    words = html_to_words(df)
+    got = {r.url: r for r in words.collect()}
+    assert got["pdf://x"].n_pages == 2  # empty page dropped (D8)
+    first = got["pdf://x"].pages[0].words[0]
+    assert first.text == "Hello"
+    assert first.box.left == pytest.approx(72.0 / 612.0)
+    assert first.box.top == pytest.approx((792 - 720 - 12) / 792.0)
+    txt = {r.url: r.extracted_text for r in assemble_text(words).collect()}
+    assert txt["pdf://x"] == WANT_TEXT.replace("\f", "\n")
+    assert txt["html://y"] == "plain html words"
+
+
+def test_hostile_inputs_never_raise_out_of_meta():
+    blob = pdf.write_pdf(PAGES)
+    for bad in [b"%PDF-", b"%PDF-1.4\ngarbage", blob[:40], blob[:200],
+                blob[:-30], b"%PDF-1.4\n" + b"\x00" * 64,
+                blob.replace(b"obj", b"obX")]:
+        try:
+            m = pdf.pdf_meta(bad)
+            assert isinstance(m["n_pages"], int)
+        except ValueError:
+            pass  # explicit error channel is fine; other exceptions not
+    with pytest.raises(ValueError):
+        pdf.pdf_meta(b"not a pdf at all")
+
+
+def test_incremental_update_prev_chain():
+    """A /Prev-chained second revision: newest xref wins for changed
+    objects, old entries still resolve."""
+    base = pdf.write_pdf(PAGES[:1])
+    start = base.rfind(b"startxref")
+    base_xref_off = int(base[start:].split()[1])
+    # append a replacement for object 5 (content stream) + new xref
+    newc = b"BT /F1 12 Tf 72 720 Td (patched text) Tj ET"
+    add = f"5 0 obj\n<< /Length {len(newc)} >>\nstream\n".encode() \
+        + newc + b"\nendstream\nendobj\n"
+    off5 = len(base)
+    out = base + add
+    xoff = len(out)
+    out += (b"xref\n5 1\n" + f"{off5:010d} 00000 n \n".encode()
+            + b"trailer\n<< /Size 6 /Root 1 0 R /Prev "
+            + str(base_xref_off).encode() + b" >>\n"
+            + f"startxref\n{xoff}\n%%EOF\n".encode())
+    assert pdf.pdf_extract_text(out) == "patched text"
+    assert pdf.pdf_meta(out)["n_pages"] == 1
