@@ -3,16 +3,23 @@
 Completes the built-in codec family (functions/codecs.py) with the one
 format that was still PIL-gated: baseline sequential DCT JPEG. Scope:
 
-- **decode**: SOI/APPn/DQT/DHT/SOF0/DRI/SOS/RSTn/EOI marker walk; 8-bit
+- **decode**: SOI/APPn/DQT/DHT/SOF/DRI/SOS/RSTn/EOI marker walk; 8-bit
   precision; 1 (gray) or 3 (YCbCr) components with arbitrary sampling
   factors (4:4:4, 4:2:2, 4:2:0, …); canonical Huffman decode with byte
-  unstuffing and restart-interval DC-predictor resets; batched
+  unstuffing and restart-interval DC-predictor resets; **baseline
+  sequential (SOF0/SOF1) AND progressive (SOF2)** — multi-scan with
+  spectral selection, successive approximation (DC+AC first/refine),
+  EOB runs, and non-interleaved single-component scan geometry; batched
   orthonormal IDCT (one einsum per component, not per block); nearest
   upsampling; BT.601 YCbCr→RGB. EXIF orientation read from APP1.
-  Progressive (SOF2), arithmetic coding, 12-bit, and CMYK raise
-  ValueError (→ the per-record ``error`` column upstream).
+  Arithmetic coding, 12-bit, lossless, and CMYK raise ValueError
+  (→ the per-record ``error`` column upstream).
 - **encode** (tests/fixtures): quality-scaled Annex-K quantization,
-  spec Annex-K Huffman tables, 4:4:4 or 4:2:0 sampling, optional DRI.
+  spec Annex-K Huffman tables, 4:4:4 or 4:2:0 sampling, optional DRI;
+  plus a progressive encoder (``encode_jpeg_progressive``) whose scan
+  script exercises every progressive decode path — progressive coding
+  is lossless over the quantized coefficients, so its decode is asserted
+  byte-identical to the baseline decode of the same image.
 
 JPEG is lossy — roundtrips assert closeness (small mean error at high
 quality), while bit-level machinery (zigzag, magnitude coding, Huffman
@@ -190,8 +197,174 @@ class _BitReader:
         raise ValueError("JPEG: expected restart marker")
 
 
+def _next_marker(blob: bytes, pos: int) -> int:
+    """First non-stuffing, non-RST marker at/after ``pos`` (scan resync)."""
+    n = len(blob)
+    while pos + 1 < n:
+        if blob[pos] == 0xFF and blob[pos + 1] != 0x00:
+            if 0xD0 <= blob[pos + 1] <= 0xD7:
+                pos += 2  # stray restart between scans
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_scan(blob, pos, scomps, ss, se, ah, al, progressive, store, bw,
+                 geom, huff_dc, huff_ac, restart_interval):
+    """Entropy-decode one scan into the per-component coefficient stores
+    (zigzag order). Handles baseline sequential plus all four progressive
+    scan kinds (T.81 G.2): DC first/refine (interleaved allowed), AC
+    first/refine (single-component, spectral band ss..se, successive
+    approximation ah→al with EOB runs). Returns the position of the next
+    marker."""
+    rdr = _BitReader(blob, pos)
+    pred = {c["id"]: 0 for c in scomps}
+    eob = 0  # EOB run counter (progressive AC scans)
+
+    def block_seq(coef, dct, act, cid):
+        t = rdr.decode(dct)
+        pred[cid] += extend(rdr.read(t), t) if t else 0
+        coef[0] = pred[cid]
+        k = 0
+        while k < 63:
+            rs = rdr.decode(act)
+            r, size = rs >> 4, rs & 15
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                k += 16
+                continue
+            k += r + 1
+            if k > 63:
+                raise ValueError("JPEG: AC index overflow")
+            coef[k] = extend(rdr.read(size), size)
+
+    def block_dc_first(coef, dct, act, cid):
+        t = rdr.decode(dct)
+        pred[cid] += extend(rdr.read(t), t) if t else 0
+        coef[0] = pred[cid] << al
+
+    def block_dc_refine(coef, dct, act, cid):
+        if rdr.read(1):
+            coef[0] |= 1 << al
+
+    def block_ac_first(coef, dct, act, cid):
+        nonlocal eob
+        if eob > 0:
+            eob -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = rdr.decode(act)
+            r, size = rs >> 4, rs & 15
+            if size == 0:
+                if r < 15:  # EOBn: this block done, r-coded run follows
+                    eob = (1 << r) - 1
+                    if r:
+                        eob += rdr.read(r)
+                    break
+                k += 16  # ZRL
+            else:
+                k += r
+                if k > se:
+                    raise ValueError("JPEG: AC band overflow")
+                coef[k] = extend(rdr.read(size), size) << al
+                k += 1
+
+    def block_ac_refine(coef, dct, act, cid):
+        nonlocal eob
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k):
+            if rdr.read(1) and (coef[k] & p1) == 0:
+                coef[k] += p1 if coef[k] >= 0 else m1
+
+        k = ss
+        if eob == 0:
+            while k <= se:
+                rs = rdr.decode(act)
+                r, size = rs >> 4, rs & 15
+                val = 0
+                if size:  # newly-significant coefficient (size is 1)
+                    val = p1 if rdr.read(1) else m1
+                elif r != 15:
+                    eob = 1 << r  # EOBn includes this block (G.2 vs first)
+                    if r:
+                        eob += rdr.read(r)
+                    break
+                # advance over r zero-history slots, correcting nonzero ones
+                while k <= se:
+                    if coef[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    coef[k] = val
+                k += 1
+        if eob > 0:
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                k += 1
+            eob -= 1
+
+    if progressive:
+        if ss == 0:
+            block_fn = block_dc_first if ah == 0 else block_dc_refine
+        else:
+            block_fn = block_ac_first if ah == 0 else block_ac_refine
+    else:
+        block_fn = block_seq
+
+    def maybe_restart(mcu_count):
+        nonlocal eob
+        if restart_interval and mcu_count and \
+                mcu_count % restart_interval == 0:
+            rdr.restart()
+            for cid in pred:
+                pred[cid] = 0
+            eob = 0
+
+    if len(scomps) == 1:
+        # non-interleaved: raster over the component's own block grid
+        c = scomps[0]
+        dct = huff_dc.get(c["dc"]) if ss == 0 else None
+        act = huff_ac.get(c["ac"]) if se > 0 or not progressive else None
+        nbx, nby = geom["nonint"][c["id"]]
+        cid = c["id"]
+        st, w_ = store[cid], bw[cid]
+        count = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart(count)
+                block_fn(st[by * w_ + bx], dct, act, cid)
+                count += 1
+    else:
+        mcux, mcuy = geom["mcux"], geom["mcuy"]
+        count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(count)
+                for c in scomps:
+                    dct = huff_dc.get(c["dc"])
+                    act = huff_ac.get(c["ac"])
+                    cid = c["id"]
+                    st, w_ = store[cid], bw[cid]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            idx = (my * c["v"] + by) * w_ + mx * c["h"] + bx
+                            block_fn(st[idx], dct, act, cid)
+                count += 1
+    return _next_marker(blob, rdr.pos)
+
+
 def decode_jpeg(blob: bytes) -> tuple[np.ndarray, int | None]:
-    """Baseline JPEG → ((h, w, 3) uint8 RGB, exif_orientation|None)."""
+    """Baseline (SOF0/SOF1) or progressive (SOF2) JPEG →
+    ((h, w, 3) uint8 RGB, exif_orientation|None)."""
     from .codecs import _parse_exif_orientation
 
     if blob[:2] != b"\xff\xd8":
@@ -239,7 +412,8 @@ def decode_jpeg(blob: bytes) -> tuple[np.ndarray, int | None]:
                 (huff_dc if tc == 0 else huff_ac)[th] = \
                     build_huffman_decoder(bits, vals)
                 p += 17 + nvals
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
@@ -248,78 +422,54 @@ def decode_jpeg(blob: bytes) -> tuple[np.ndarray, int | None]:
                 cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 15,
                               "tq": tq})
+            if ncomp not in (1, 3):
+                raise ValueError(f"JPEG: {ncomp} components not supported")
             sof = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            # per-component coefficient stores (zigzag), padded MCU grid
+            store = {c["id"]: np.zeros((mcux * c["h"] * mcuy * c["v"], 64),
+                                       np.int64) for c in comps}
+            bw = {c["id"]: mcux * c["h"] for c in comps}  # blocks per row
+            geom = {"mcux": mcux, "mcuy": mcuy, "nonint": {
+                # non-interleaved scans cover ceil(comp_dim/8) blocks,
+                # not the padded interleaved grid (T.81 A.2.2)
+                c["id"]: ((-(-(w * c["h"]) // hmax) + 7) // 8,
+                          (-(-(h * c["v"]) // vmax) + 7) // 8)
+                for c in comps}}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "JPEG: only baseline sequential (SOF0) supported — "
-                f"got SOF marker 0x{marker:02x} (progressive/arithmetic)")
+                "JPEG: only Huffman sequential/progressive supported — "
+                f"got SOF marker 0x{marker:02x} (arithmetic/lossless)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
             orientation = _parse_exif_orientation(seg[6:])
         elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
-            scan = []
+            scomps = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan.append({"id": cs, "dc": tables >> 4, "ac": tables & 15})
-            pos += seglen
-            break
+                scomps.append({"id": cs, "dc": tables >> 4,
+                               "ac": tables & 15})
+            ss, se, ahl = struct.unpack_from(">BBB", seg, 1 + 2 * ns)
+            by_id = {c["id"]: c for c in sof[2]}
+            for s in scomps:
+                s.update(by_id[s["id"]])
+            pos = _decode_scan(blob, pos + seglen, scomps, ss, se,
+                               ahl >> 4, ahl & 15, progressive, store, bw,
+                               geom, huff_dc, huff_ac, restart_interval)
+            scan = scomps
+            continue
         pos += seglen
     if sof is None or scan is None:
         raise ValueError("JPEG: missing SOF/SOS")
     h, w, comps = sof
-    if len(comps) not in (1, 3):
-        raise ValueError(f"JPEG: {len(comps)} components not supported")
-    by_id = {c["id"]: c for c in comps}
-    for s in scan:
-        s.update(by_id[s["id"]])
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # per-component coefficient stores, one (nblocks, 64) array each
-    store = {c["id"]: np.zeros((mcux * c["h"] * mcuy * c["v"], 64),
-                               np.int64) for c in comps}
-    bw = {c["id"]: mcux * c["h"] for c in comps}  # blocks per row
-
-    rdr = _BitReader(blob, pos)
-    pred = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                rdr.restart()
-                pred = {c["id"]: 0 for c in comps}
-            for s in scan:
-                dct, act = huff_dc[s["dc"]], huff_ac[s["ac"]]
-                for by in range(s["v"]):
-                    for bx in range(s["h"]):
-                        coef = np.zeros(64, np.int64)
-                        t = rdr.decode(dct)
-                        diff = extend(rdr.read(t), t) if t else 0
-                        pred[s["id"]] += diff
-                        coef[0] = pred[s["id"]]
-                        k = 0
-                        while k < 63:
-                            rs = rdr.decode(act)
-                            r, size = rs >> 4, rs & 15
-                            if rs == 0x00:
-                                break
-                            if rs == 0xF0:
-                                k += 16
-                                continue
-                            k += r + 1
-                            if k > 63:
-                                raise ValueError("JPEG: AC index overflow")
-                            coef[k] = extend(rdr.read(size), size)
-                        row = my * s["v"] + by
-                        col = mx * s["h"] + bx
-                        store[s["id"]][row * bw[s["id"]] + col] = coef
-            mcu_count += 1
 
     planes = {}
     for c in comps:
@@ -535,4 +685,228 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     bwr.flush()
     out += bwr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (tests / fixtures)
+# --------------------------------------------------------------------------
+# Flat canonical Huffman tables: every symbol the scans can emit, near-
+# fixed code length (12 DC symbols @4 bits; all 256 AC symbols @9 bits
+# except the last @10 — DHT length counts are single bytes, so one length
+# can hold at most 255 codes). Keeps EOBn symbols 0x10..0xE0 codeable,
+# which the Annex K tables omit.
+FLAT_DC = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+FLAT_AC = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+
+def _emit_eobrun(bwr, enc_ac, eobrun: int, bitbuf: list[int]) -> None:
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        code, ln = enc_ac[r << 4]
+        bwr.write(code, ln)
+        if r:
+            bwr.write(eobrun - (1 << r), r)
+        for b in bitbuf:
+            bwr.write(b, 1)
+
+
+def _ac_first_scan(blocks, ss, se, al, bwr, enc_ac) -> None:
+    """T.81 G.1.2.2 AC first scan: point-transformed band with EOB runs."""
+    eobrun = 0
+    for coef in blocks:
+        vals = []
+        for v in coef[ss:se + 1]:
+            v = int(v)
+            vals.append(-((-v) >> al) if v < 0 else v >> al)
+        last = -1
+        for i, v in enumerate(vals):
+            if v:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(bwr, enc_ac, eobrun, [])
+                eobrun = 0
+            continue
+        _emit_eobrun(bwr, enc_ac, eobrun, [])
+        eobrun = 0
+        run = 0
+        for v in vals[:last + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[0xF0]
+                bwr.write(code, ln)
+                run -= 16
+            t, bitsv = magnitude(v)
+            code, ln = enc_ac[(run << 4) | t]
+            bwr.write(code, ln)
+            bwr.write(bitsv, t)
+            run = 0
+        if last < len(vals) - 1:
+            eobrun += 1
+    _emit_eobrun(bwr, enc_ac, eobrun, [])
+
+
+def _ac_refine_scan(blocks, ss, se, al, bwr, enc_ac) -> None:
+    """T.81 G.1.2.3 AC refinement scan (mirror of the decoder's
+    block_ac_refine): newly-significant coefficients as (run,1)+sign,
+    history-nonzero coefficients as correction bits, buffered across EOB
+    runs."""
+    eobrun = 0
+    bitbuf: list[int] = []
+    for coef in blocks:
+        absvals = []
+        for v in coef[ss:se + 1]:
+            v = int(v)
+            absvals.append(((-v) if v < 0 else v) >> al)
+        eobpos = -1
+        for i, t in enumerate(absvals):
+            if t == 1:
+                eobpos = i
+        r = 0
+        br: list[int] = []
+        for k, t in enumerate(absvals):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eobpos:
+                _emit_eobrun(bwr, enc_ac, eobrun, bitbuf)
+                eobrun, bitbuf = 0, []
+                code, ln = enc_ac[0xF0]
+                bwr.write(code, ln)
+                r -= 16
+                for b in br:
+                    bwr.write(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            _emit_eobrun(bwr, enc_ac, eobrun, bitbuf)
+            eobrun, bitbuf = 0, []
+            code, ln = enc_ac[(r << 4) | 1]
+            bwr.write(code, ln)
+            bwr.write(1 if int(coef[ss + k]) > 0 else 0, 1)
+            for b in br:
+                bwr.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            bitbuf.extend(br)
+            if eobrun == 0x7FFF:
+                _emit_eobrun(bwr, enc_ac, eobrun, bitbuf)
+                eobrun, bitbuf = 0, []
+    _emit_eobrun(bwr, enc_ac, eobrun, bitbuf)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) RGB or (h, w) gray uint8 → progressive (SOF2) JFIF bytes.
+
+    Scan script exercises every progressive decode path: interleaved DC
+    first at Al=1, DC refinement, per-component AC first scans over two
+    spectral bands (1-5, 6-63) at Al=1, then AC refinement of both bands.
+    4:4:4 / gray only (the fixture role; the decoder handles any
+    sampling). Progressive coding is a lossless re-encoding of the same
+    quantized coefficients, so decode(progressive(x)) is byte-identical
+    to decode(baseline(x)) at the same quality — the roundtrip test pins
+    exactly that."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    qlum = _quality_scale(QUANT_LUM, quality).reshape(8, 8)
+    qchrom = _quality_scale(QUANT_CHROM, quality).reshape(8, 8)
+    if gray:
+        planes = [arr.astype(np.float64)]
+        qsel = [0]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                  128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+        qsel = [0, 1, 1]
+    ncomp = len(planes)
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    comp_blocks = []
+    for plane, q in zip(planes, [qlum, qchrom, qchrom][:ncomp]):
+        padded = np.empty((mcuy * 8, mcux * 8))
+        padded[:h, :w] = plane
+        padded[h:, :w] = plane[-1:, :]
+        padded[:, w:] = padded[:, w - 1:w]
+        blocks = padded.reshape(mcuy, 8, mcux, 8) \
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+        freq = np.einsum("ik,nkl,jl->nij", DCT_C, blocks, DCT_C)
+        coefs = np.round(freq / q[None, :, :]).astype(np.int64).reshape(-1, 64)
+        comp_blocks.append(coefs[:, ZIGZAG])
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    zz = lambda q: bytes(int(v) for v in q.reshape(64)[ZIGZAG])  # noqa: E731
+    out += seg(0xDB, b"\x00" + zz(qlum))
+    if not gray:
+        out += seg(0xDB, b"\x01" + zz(qchrom))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += struct.pack(">BBB", i + 1, 0x11, qsel[i])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, b"\x00" + bytes(FLAT_DC[0]) + bytes(FLAT_DC[1]))
+    out += seg(0xC4, b"\x10" + bytes(FLAT_AC[0]) + bytes(FLAT_AC[1]))
+    enc_dc = build_huffman_encoder(*FLAT_DC)
+    enc_ac = build_huffman_encoder(*FLAT_AC)
+
+    def sos(comp_ixs, ss, se, ah, al):
+        p = bytes([len(comp_ixs)])
+        for ci in comp_ixs:
+            p += struct.pack(">BB", ci + 1, 0x00)
+        return seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, interleaved, Al=1
+    out += sos(list(range(ncomp)), 0, 0, 0, 1)
+    bwr = _BitWriter()
+    pred = [0] * ncomp
+    for ix in range(mcux * mcuy):
+        for ci in range(ncomp):
+            v = int(comp_blocks[ci][ix][0]) >> 1
+            t, bitsv = magnitude(v - pred[ci])
+            pred[ci] = v
+            code, ln = enc_dc[t]
+            bwr.write(code, ln)
+            if t:
+                bwr.write(bitsv, t)
+    bwr.flush()
+    out += bwr.out
+    # scan 2: DC refinement (raw bits)
+    out += sos(list(range(ncomp)), 0, 0, 1, 0)
+    bwr = _BitWriter()
+    for ix in range(mcux * mcuy):
+        for ci in range(ncomp):
+            bwr.write(int(comp_blocks[ci][ix][0]) & 1, 1)
+    bwr.flush()
+    out += bwr.out
+    # scans 3..: AC first then AC refinement, two spectral bands each
+    bands = [(1, 5), (6, 63)]
+    for ss, se in bands:
+        for ci in range(ncomp):
+            out += sos([ci], ss, se, 0, 1)
+            bwr = _BitWriter()
+            _ac_first_scan(comp_blocks[ci], ss, se, 1, bwr, enc_ac)
+            bwr.flush()
+            out += bwr.out
+    for ss, se in bands:
+        for ci in range(ncomp):
+            out += sos([ci], ss, se, 1, 0)
+            bwr = _BitWriter()
+            _ac_refine_scan(comp_blocks[ci], ss, se, 0, bwr, enc_ac)
+            bwr.flush()
+            out += bwr.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -131,15 +131,48 @@ def test_exif_orientation_app1():
         out, jpeg.decode_jpeg(blob)[0])
 
 
-def test_progressive_rejected():
+def test_arithmetic_rejected_and_bad_soi():
     blob = bytearray(jpeg.encode_jpeg(
         _rng(8).integers(0, 256, size=(8, 8, 3), dtype=np.uint8)))
     ix = bytes(blob).find(b"\xff\xc0")
-    blob[ix + 1] = 0xC2  # SOF0 → SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    blob[ix + 1] = 0xC9  # SOF0 → SOF9 (arithmetic sequential)
+    with pytest.raises(ValueError, match="arithmetic"):
         jpeg.decode_jpeg(bytes(blob))
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_jpeg(b"not a jpeg")
+
+
+def test_progressive_decode_identical_to_baseline():
+    """Progressive coding losslessly re-encodes the same quantized
+    coefficients, so decode(progressive(x)) must be byte-identical to
+    decode(baseline(x)) at the same quality. Covers DC first/refine,
+    AC first/refine over two spectral bands, EOB runs (flat regions),
+    and ZRL (noise)."""
+    rng = _rng(31)
+    cases = [
+        np.clip(np.linspace(0, 255, 16 * 24 * 3).reshape(16, 24, 3)
+                + rng.normal(0, 30, (16, 24, 3)), 0, 255).astype(np.uint8),
+        np.full((40, 56, 3), 77, np.uint8),                 # long EOB runs
+        rng.integers(0, 256, (32, 32, 3)).astype(np.uint8),  # ZRL-heavy
+        rng.integers(0, 256, (21, 13, 3)).astype(np.uint8),  # edge padding
+        np.full((30, 30), 200, np.uint8),                    # grayscale
+    ]
+    for q, img in zip((85, 85, 85, 30, 60), cases):
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q))[0]
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality=q))[0]
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_is_sof2_and_sniffs():
+    from amazon_textract_transformer_pipeline_spark.functions import codecs
+    img = _rng(4).integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    blob = jpeg.encode_jpeg_progressive(img)
+    assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+    assert codecs.sniff_format(blob) == "jpeg"
+    assert codecs.sniff_dimensions(blob) == (40, 24)
+    # builtin path decodes it — progressive no longer falls to the PIL seam
+    arr, orient = codecs.builtin_decode_fn(blob)
+    assert arr.shape == (24, 40, 3) and orient is None
 
 
 def test_codecs_dispatch_and_spark_decode(spark):
