@@ -179,9 +179,80 @@ def cosine_near_duplicates(embs: DataFrame, threshold: float = 0.98,
     )
 
 
+def kmeans_centroids(corpus: DataFrame, k: int, n_iter: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Bounded-iteration relational Lloyd's fit → (cent_id, centv) —
+    trained replacement for ivf_topk's random-sample centroids (pass the
+    result as its ``centroids=`` argument).
+
+    Spherical k-means (cosine objective, the IVF metric here): assignment
+    is the same broadcast-centroids max_by-cosine pass the IVF index
+    itself runs; update is an element-wise mean (posexplode → (cell, dim)
+    hash agg with map-side partials → re-assembled array) followed by
+    L2 normalization. Empty cells keep their previous centroid.
+
+    Scale notes: each iteration is one map-side assignment over the
+    corpus plus a (k × dim)-cell aggregate; ``n_iter`` is a hard bound
+    (default 5 — Lloyd's moves little after a handful of rounds on web
+    embeddings). The k-row centroid relation is collected per iteration
+    to cut lineage and re-broadcast — bounded by k ≈ √N, the same budget
+    class as the index's own centroid broadcast (documented there)."""
+    cents = (
+        corpus.select(F.col(id_col).alias("cent_id"),
+                      F.col(vec_col).alias("centv"))
+        .orderBy(F.expr(_hash_order_expr("cent_id")), F.col("cent_id"))
+        .limit(k)
+    )
+    spark = corpus.sparkSession
+    schema = "cent_id long, centv array<double>"
+    prev = [(int(r.cent_id), [float(v) for v in r.centv])
+            for r in cents.collect()]
+    for _ in range(n_iter):
+        cdf = F.broadcast(spark.createDataFrame(prev, schema))
+        assigned = (
+            corpus.select(F.col(id_col).alias("_id"),
+                          F.col(vec_col).alias("_v"))
+            .join(cdf)
+            .select("_id", "_v", "cent_id",
+                    F.round(cosine_col("centv", "_v"), 9).alias("_d"))
+            .groupBy("_id").agg(
+                F.max_by(F.struct("cent_id", "_v"),
+                         F.struct(F.col("_d"),
+                                  (-F.col("cent_id")).alias("_t")))
+                .alias("best"))
+            .select(F.col("best.cent_id").alias("cent_id"),
+                    F.col("best._v").alias("_v"))
+        )
+        means = (
+            assigned.select("cent_id", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cent_id", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("cent_id").agg(
+                F.expr("transform(array_sort(collect_list(struct(pos, m))),"
+                       " s -> s.m)").alias("mean"))
+            .select("cent_id",
+                    F.expr("aggregate(mean, 0d, (a, x) -> a + x * x, "
+                           "a -> sqrt(a))").alias("_n"), "mean")
+            .select("cent_id",
+                    F.expr("CASE WHEN _n > 0 THEN "
+                           "transform(mean, x -> x / _n) ELSE mean END")
+                    .alias("centv"))
+        )
+        new = {int(r.cent_id): [float(v) for v in r.centv]
+               for r in means.collect()}
+        prev = [(cid, new.get(cid, v)) for cid, v in prev]
+    return spark.createDataFrame(prev, schema)
+
+
+def _hash_order_expr(col: str) -> str:
+    from ..functions import textsql as X
+    return X.h64(f"cast({col} as string)", "spark")
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, topk: int = 5,
              n_centroids: int = 256, nprobe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF-flat approximate top-k: corpus partitioned into Voronoi cells
     around coarse centroids; queries search only their ``nprobe`` nearest
     cells.
@@ -203,15 +274,19 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, topk: int = 5,
     cheap zip_with folds); the probe join is keyed by cell id so candidate
     generation is bounded by cell sizes — never all-pairs. Recall rises
     with ``nprobe`` (measure with :func:`topk_recall`).
-    """
-    from ..functions import textsql as X
 
-    cents = F.broadcast(
-        corpus.select(F.col(id_col).alias("cent_id"),
-                      F.col(vec_col).alias("centv"))
-        .orderBy(F.expr(X.h64(f"cast(cent_id as string)", "spark")),
-                 F.col("cent_id"))
-        .limit(n_centroids))
+    ``centroids``: optional trained (cent_id, centv) relation — e.g.
+    :func:`kmeans_centroids` — replacing the random sample; everything
+    downstream (assignment, probing, verification) is unchanged.
+    """
+    if centroids is not None:
+        cents = F.broadcast(centroids.select("cent_id", "centv"))
+    else:
+        cents = F.broadcast(
+            corpus.select(F.col(id_col).alias("cent_id"),
+                          F.col(vec_col).alias("centv"))
+            .orderBy(F.expr(_hash_order_expr("cent_id")), F.col("cent_id"))
+            .limit(n_centroids))
 
     def nearest_cells(df: DataFrame, prefix: str, n: int) -> DataFrame:
         """(id, cent_id) of the n nearest centroids. The k-way centroid

@@ -240,3 +240,44 @@ def test_multimodal_determinism(spark):
     a = synth_media_df(spark, 20).select("media_id", F.md5(F.col("blob")).alias("h"))
     b = synth_media_df(spark, 20).select("media_id", F.md5(F.col("blob")).alias("h"))
     assert a.exceptAll(b).count() == 0
+
+
+def test_kmeans_centroids_lift_ivf_recall(spark):
+    """Trained centroids (relational Lloyd's, spherical) recover planted
+    cluster structure: on a clustered corpus they beat the random-sample
+    baseline at the same nprobe, centroids stay unit-norm and k-fixed,
+    and the fit is deterministic."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    centers = rng.normal(size=(8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + rng.normal(scale=0.15, size=16)
+        rows.append((i, [float(x) for x in v]))
+    clustered = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").cache()
+
+    queries = clustered.filter("vec_id % 40 = 0")
+    exact = similarity.brute_force_topk(clustered, queries, topk=5).cache()
+    k = 8
+    trained = similarity.kmeans_centroids(clustered, k, n_iter=5).cache()
+    assert trained.count() == k  # k fixed; empty cells keep old centroid
+    norms = trained.select(
+        F.expr("aggregate(centv, 0d, (a, x) -> a + x * x)").alias("n2"))
+    assert norms.filter("abs(n2 - 1.0) > 1e-6").count() == 0
+
+    r_rand = similarity.topk_recall(
+        exact, similarity.ivf_topk(clustered, queries, topk=5,
+                                   n_centroids=k, nprobe=1))
+    r_fit = similarity.topk_recall(
+        exact, similarity.ivf_topk(clustered, queries, topk=5, nprobe=1,
+                                   centroids=trained))
+    assert r_fit >= r_rand, f"trained {r_fit} < random {r_rand}"
+    assert r_fit > 0.9, f"trained centroids missed planted clusters: {r_fit}"
+
+    again = similarity.kmeans_centroids(clustered, k, n_iter=5)
+    diff = trained.alias("a").join(again.alias("b"), "cent_id") \
+        .filter("a.centv <> b.centv").count()
+    assert diff == 0
