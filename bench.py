@@ -99,6 +99,50 @@ def bench_queries(spark) -> dict[str, float]:
               n_planes=6, n_tables=2).count())
     timed("text_stats", lambda: _force(Q.q_text_stats(spark, sf)))
     timed("split_windows", lambda: Q.q_split_windows(spark, sf).count())
+
+    # round-3/4 operators: windowed analytics, WARC ingestion, real-codec
+    # decode, native PDF extraction
+    timed("tumbling_windows", lambda: _force(Q.q_tumbling_windows(spark, sf)))
+    timed("session_windows", lambda: _force(Q.q_session_windows(spark, sf)))
+    timed("pdf_extract", lambda: _force(Q.q_pdf_extract(spark, sf)))
+
+    sf_name = Path(sf).name
+    n_media = {"sf0.001": 100, "sf0.01": 300, "sf0.1": 1000}.get(sf_name, 300)
+    from amazon_textract_transformer_pipeline_spark.operators import (  # noqa: E402
+        multimodal,
+    )
+    media = multimodal.synth_real_media_df(spark, n_media)
+    timed("codec_decode", lambda: multimodal.decode_image(media)
+          .filter("error IS NULL").count())
+
+    n_warc = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 8000}.get(sf_name, 2000)
+    import tempfile
+
+    from amazon_textract_transformer_pipeline_spark.operators.assembly import (  # noqa: E402
+        assemble_text,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.frontend import (  # noqa: E402
+        html_to_words,
+    )
+    from amazon_textract_transformer_pipeline_spark.sources.warc import (  # noqa: E402
+        read_warc,
+        write_warc_gz,
+    )
+    with tempfile.TemporaryDirectory(prefix="bench_warc_") as tmp:
+        # staging (untimed): synthetic pages → 8 member-per-record archives
+        from datetime import datetime
+
+        rows = synthetic_pages_df(spark, n_warc, seed=7) \
+            .select("url", "warc_ts", "html").collect()
+        per = max(1, len(rows) // 8)
+        for a in range(0, len(rows), per):
+            write_warc_gz(
+                f"{tmp}/part-{a // per:04d}.warc.gz",
+                [{"url": r.url,
+                  "date": r.warc_ts or datetime(2026, 1, 1),
+                  "html": bytes(r.html)} for r in rows[a:a + per]])
+        timed("warc_ingest", lambda: _force(
+            assemble_text(html_to_words(read_warc(spark, tmp)))))
     return out
 
 
