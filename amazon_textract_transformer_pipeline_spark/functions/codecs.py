@@ -504,19 +504,31 @@ _DECODERS = {"png": decode_png, "bmp": decode_bmp,
              "jpeg": _decode_jpeg}
 
 
+#: exception types a truncated/bit-flipped container can surface from the
+#: raw parsers — the error-channel contract converts ALL of them to
+#: ValueError so one bad blob can never escape the per-record error column
+_PARSE_ERRORS = (struct.error, IndexError, KeyError, TypeError,
+                 OverflowError, zlib.error, EOFError)
+
+
 def builtin_decode_fn(blob: bytes) -> tuple[np.ndarray, int | None]:
     """Codec-seam implementation (``decode_fn(blob) -> (pixels,
     orientation)``) backed entirely by this module — the zero-dependency
-    real-decode path for ``thumbnail_images``. Raises ValueError for
-    formats needing native codecs (jpeg/gif/tiff) or unrecognized bytes;
+    real-decode path for ``thumbnail_images``. Error contract: hostile
+    input raises ValueError ONLY (fuzz-pinned in tests/test_properties.py);
     the Arrow stage converts that into the per-record ``error`` column."""
     fmt = sniff_format(bytes(blob))
     dec = _DECODERS.get(fmt)
     if dec is None:
         raise ValueError(
             f"builtin_decode_fn: format {fmt or 'unknown'} needs a native "
-            "codec (PIL seam) — supported here: png/bmp/ppm/pgm/tiff/gif/jpeg-baseline")
-    return dec(bytes(blob))
+            "codec (PIL seam) — supported here: png/bmp/ppm/pgm/tiff/gif/jpeg")
+    try:
+        return dec(bytes(blob))
+    except ValueError:
+        raise
+    except _PARSE_ERRORS as e:
+        raise ValueError(f"{fmt}: malformed container ({e!r})") from e
 
 
 # --------------------------------------------------------------------------
@@ -740,8 +752,18 @@ def decode_tiff(blob: bytes) -> tuple[np.ndarray, int | None]:
 
 def count_frames(blob: bytes) -> int:
     """Frame count: TIFF → IFD-chain length, GIF → image-descriptor
-    count, everything else 1 (the D3 'single images pass through' rule).
-    Header/structure walk only — no decompression or pixel decode."""
+    count, PDF → page count, everything else 1 (the D3 'single images
+    pass through' rule). Header/structure walk only — no pixel decode.
+    Error contract: ValueError only (see builtin_decode_fn)."""
+    try:
+        return _count_frames(blob)
+    except ValueError:
+        raise
+    except _PARSE_ERRORS as e:
+        raise ValueError(f"count_frames: malformed container ({e!r})") from e
+
+
+def _count_frames(blob: bytes) -> int:
     fmt = sniff_format(blob)
     if fmt == "tiff":
         e = _tiff_endian(blob)
@@ -1246,6 +1268,8 @@ def sniff_dimensions(blob: bytes) -> tuple[int, int] | None:
                     h, w = struct.unpack_from(">HH", blob, pos + 5)
                     return int(w), int(h)
                 pos += 2 + ln
-    except (struct.error, ValueError, IndexError):
+    except ValueError:
+        return None
+    except _PARSE_ERRORS:
         return None
     return None

@@ -601,14 +601,24 @@ def _box_dims(box, rotate: int) -> tuple[float, float]:
 
 def pdf_meta(blob: bytes) -> dict:
     """Structure-only metadata: version, page count, per-page post-rotation
-    point dims, encrypted flag. The D1 answer for PDFs."""
-    doc = PdfDocument(blob)
-    pages = []
-    for p in doc.pages():
-        w, h = _box_dims(p["_MediaBox"], p["_Rotate"])
-        pages.append({"width_pt": w, "height_pt": h, "rotate": p["_Rotate"]})
-    return {"version": doc.version, "n_pages": len(pages),
-            "encrypted": doc.encrypted, "pages": pages}
+    point dims, encrypted flag. The D1 answer for PDFs.
+
+    Error contract (same as every codec in this family): hostile or
+    truncated input raises ValueError ONLY — upstream Arrow stages turn
+    that into the per-record error column."""
+    try:
+        doc = PdfDocument(blob)
+        pages = []
+        for p in doc.pages():
+            w, h = _box_dims(p["_MediaBox"], p["_Rotate"])
+            pages.append({"width_pt": w, "height_pt": h,
+                          "rotate": p["_Rotate"]})
+        return {"version": doc.version, "n_pages": len(pages),
+                "encrypted": doc.encrypted, "pages": pages}
+    except ValueError:
+        raise
+    except Exception as e:  # hostile input: any parser failure → ValueError
+        raise ValueError(f"PDF: malformed structure ({e!r})") from e
 
 
 def pdf_page_dims(blob: bytes) -> tuple[int, int] | None:
@@ -809,13 +819,19 @@ def pdf_extract_words(blob: bytes) -> list[dict]:
     """All pages → ``{"width_pt","height_pt","rotate","lines":[...]}``
     (lines as in :func:`extract_page_words`). Empty pages are kept here;
     the D8 empty-page filter applies downstream."""
-    doc = PdfDocument(blob)
-    out = []
-    for p in doc.pages():
-        w, h = _box_dims(p["_MediaBox"], p["_Rotate"])
-        out.append({"width_pt": w, "height_pt": h, "rotate": p["_Rotate"],
-                    "lines": extract_page_words(doc, p)})
-    return out
+    try:
+        doc = PdfDocument(blob)
+        out = []
+        for p in doc.pages():
+            w, h = _box_dims(p["_MediaBox"], p["_Rotate"])
+            out.append({"width_pt": w, "height_pt": h,
+                        "rotate": p["_Rotate"],
+                        "lines": extract_page_words(doc, p)})
+        return out
+    except ValueError:
+        raise
+    except Exception as e:  # hostile input: any parser failure → ValueError
+        raise ValueError(f"PDF: malformed structure ({e!r})") from e
 
 
 def pdf_parse_pages(blob: bytes) -> list[list[list[str]]]:

@@ -259,3 +259,166 @@ def test_warc_roundtrip_property(pages, with_requests):
     assert [r["url"] for r in rows] == [r["url"] for r in recs]
     assert [bytes(r["html"]) for r in rows] == [r["html"] for r in recs]
     assert all(r["warc_ts"] is not None for r in rows)
+
+
+@given(st.integers(1, 3), st.sampled_from([(1, 1), (5, 1), (5, 2),
+                                           (32773, 1)]),
+       st.booleans(), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_tiff_roundtrip_property(n_frames, comp_pred, gray, seed):
+    """Multi-frame TIFF encode→decode identity across compression
+    (none/LZW/PackBits) × predictor × gray/RGB."""
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_spark.functions import codecs
+
+    compression, predictor = comp_pred
+    rng = np.random.Generator(np.random.PCG64(seed))
+    frames = []
+    for i in range(n_frames):
+        h, w = int(rng.integers(1, 20)), int(rng.integers(1, 20))
+        shape = (h, w) if gray else (h, w, 3)
+        frames.append(rng.integers(0, 256, size=shape, dtype=np.uint8))
+    blob = codecs.encode_tiff(frames, compression=compression,
+                              predictor=predictor)
+    got = codecs.decode_tiff_frames(blob)
+    assert len(got) == n_frames
+    assert codecs.count_frames(blob) == n_frames
+    for orig, (dec, _) in zip(frames, got):
+        want = orig if orig.ndim == 3 else np.repeat(
+            orig[:, :, None], 3, axis=2)
+        assert (dec == want).all()
+
+
+@given(st.integers(1, 3), st.booleans(), st.integers(2, 17),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(n_frames, interlace, n_colors, seed):
+    """GIF encode→decode identity: palettized frames, interlace on/off,
+    multi-frame walks."""
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_spark.functions import codecs
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    h, w = int(rng.integers(1, 24)), int(rng.integers(1, 24))
+    pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, n_colors, size=(h, w))]
+              for _ in range(n_frames)]
+    blob = codecs.encode_gif(frames, interlace=interlace)
+    got = codecs.decode_gif_frames(blob)
+    assert len(got) == n_frames
+    for orig, (dec, _) in zip(frames, got):
+        assert (dec == orig).all()
+
+
+@given(st.integers(2, 40), st.integers(2, 40), st.integers(25, 95),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_progressive_equals_baseline_property(h, w, quality, seed):
+    """Progressive re-encodes the same quantized coefficients, so its
+    decode must be byte-identical to the baseline decode — any shape,
+    any quality."""
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_spark.functions import jpeg
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    img = np.clip(
+        np.linspace(0, 255, h * w * 3).reshape(h, w, 3)
+        + rng.normal(0, 40, (h, w, 3)), 0, 255).astype(np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=quality))[0]
+    prog = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_progressive(img, quality=quality))[0]
+    assert (base == prog).all()
+
+
+@given(st.integers(1, 4), st.sampled_from(
+    ["classic", "flate", "xrefstm", "pred", "objstm"]),
+    st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_pdf_roundtrip_property(n_pages, dialect, seed):
+    """PDF writer→parser identity across structural dialects: page count,
+    dims, and extracted text all survive."""
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_spark.functions import pdf
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    kw = {"classic": {}, "flate": {"compress": True},
+          "xrefstm": {"xref_stream": True},
+          "pred": {"xref_stream": True, "predictor": True},
+          "objstm": {"objstm": True}}[dialect]
+    pages = []
+    for p in range(n_pages):
+        lines = [" ".join(f"w{int(x)}" for x in rng.integers(0, 999, 3))
+                 for _ in range(int(rng.integers(1, 4)))]
+        pages.append({"width": int(rng.integers(72, 1000)),
+                      "height": int(rng.integers(72, 1000)),
+                      "lines": lines})
+    blob = pdf.write_pdf(pages, **kw)
+    meta = pdf.pdf_meta(blob)
+    assert meta["n_pages"] == n_pages
+    for spec, got in zip(pages, meta["pages"]):
+        assert (got["width_pt"], got["height_pt"]) == \
+            (float(spec["width"]), float(spec["height"]))
+    want = "\f".join("\n".join(p["lines"]) for p in pages)
+    assert pdf.pdf_extract_text(blob) == want
+
+
+@given(st.sampled_from(["png", "bmp", "ppm", "tiff", "gif", "jpeg",
+                        "pdf", "wav"]),
+       st.integers(0, 3000), st.integers(0, 2**32 - 1), st.booleans())
+@settings(max_examples=120, deadline=None)
+def test_mutated_containers_stay_in_error_channel(fmt, cut, seed, flip):
+    """The decode-metadata contract under fuzz: truncating or bit-flipping
+    any valid container must either succeed or raise ValueError — never
+    any other exception type (that is what keeps one bad blob from
+    failing a whole Arrow stage)."""
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_spark.functions import (
+        av,
+        codecs,
+        jpeg,
+        pdf,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(seed ^ 0xC0DEC))
+    arr = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    if fmt == "png":
+        blob = codecs.encode_png(arr)
+    elif fmt == "bmp":
+        blob = codecs.encode_bmp(arr)
+    elif fmt == "ppm":
+        blob = codecs.encode_ppm(arr)
+    elif fmt == "tiff":
+        blob = codecs.encode_tiff([arr], compression=5)
+    elif fmt == "gif":
+        blob = codecs.encode_gif([pal[rng.integers(0, 4, size=(9, 11))]])
+    elif fmt == "jpeg":
+        blob = jpeg.encode_jpeg(arr)
+    elif fmt == "pdf":
+        blob = pdf.write_pdf([{"width": 200, "height": 100,
+                               "lines": ["fuzz me"]}])
+    else:
+        blob = av.encode_wav(np.zeros(64), 8000)
+
+    mutated = bytearray(blob[:max(cut % (len(blob) + 1), 1)])
+    if flip and mutated:
+        mutated[int(seed) % len(mutated)] ^= 0xFF
+    mutated = bytes(mutated)
+
+    try:
+        codecs.sniff_format(mutated)
+        dims = codecs.sniff_dimensions(mutated)
+        assert dims is None or (isinstance(dims[0], int)
+                                and isinstance(dims[1], int))
+        codecs.count_frames(mutated)
+        if codecs.sniff_format(mutated) == "pdf":
+            pdf.pdf_meta(mutated)
+        else:
+            codecs.builtin_decode_fn(mutated)
+    except ValueError:
+        pass  # the sanctioned error channel
