@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PDF front door: native xref/page-tree/content-stream parse
         "pdf_metadata": Q.q_pdf_metadata,
         "pdf_extract": Q.q_pdf_extract,
+        # WHATWG charset sniffing: mixed encodings → identical text
+        "charset_extract": Q.q_charset_extract,
+        # Gopher/C4 pre-training quality filter rules (exact values)
+        "gopher_filters": Q.q_gopher_filters,
     }
 
 
@@ -463,6 +467,22 @@ SELECT 'pdf://' || i AS url,
                   ' tok' || ((i*7 + p*3 + j) % 100),
                   chr(10) ORDER BY p, j) AS extracted_text
 FROM lines GROUP BY i"""
+
+    # gopher_filters oracle: identical rule expressions emitted for the
+    # DuckDB dialect by the same expression builder.
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        gopher_exprs,
+    )
+    gsel = ", ".join(f"{x} AS {k}" for k, x in gopher_exprs("text", "duck").items())
+    sqls["gopher_filters"] = f"SELECT doc_id, {gsel} FROM documents"
+
+    # charset_extract oracle: the decode ladder is what's under test — all
+    # five encoding variants of doc i must yield the identical Unicode
+    # text, so the oracle is encoding-independent and closed-form.
+    sqls["charset_extract"] = """
+SELECT 'cs://' || i AS url,
+       'doc ' || i || ' café naïve öl' AS extracted_text
+FROM range(0, 120) t(i)"""
 
     # split_windows oracle: recursive-CTE replay of the greedy splitter
     # (oracle.py::split_windows_oracle) — was rows-only in round 1

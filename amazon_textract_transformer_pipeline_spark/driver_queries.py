@@ -512,6 +512,61 @@ def q_pdf_metadata(spark, sf_dir) -> DataFrame:
         "media_id", "width", "height", "n_pages", "encrypted", "valid")
 
 
+def q_gopher_filters(spark, sf_dir) -> DataFrame:
+    """Gopher/C4 pre-training quality filters over the documents table:
+    per-doc rule signals + the combined verdict, exact-value checked
+    against the same expressions in DuckDB. Pure map-side projection —
+    at corpus scale this is the filter applied BEFORE any shuffle-bearing
+    stage (dedup, similarity) so downstream volumes shrink first."""
+    from .operators.textstats import with_gopher_filters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_gopher_filters(docs.select("doc_id", "text")).drop("text")
+
+
+def q_charset_extract(spark, sf_dir) -> DataFrame:
+    """Charset-sniffing front-end over a mixed-encoding corpus: the same
+    accented text served as plain UTF-8, BOM'd UTF-8 + meta, cp1252 +
+    meta, BOM'd UTF-16-LE, and undeclared latin-1 (strict-UTF-8 probe
+    fails → WHATWG cp1252 fallback). Every variant must extract the
+    IDENTICAL Unicode text — the oracle is one closed-form string per
+    doc, independent of encoding. Map-only, zero shuffle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("html", T.BinaryType(), False),
+    ])
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                line = f"doc {i} café naïve öl"
+                body = (f"<html><head>{{meta}}</head><body><article>"
+                        f"<p>{line}</p></article></body></html>")
+                v = i % 5
+                if v == 0:
+                    blob = body.format(meta="").encode("utf-8")
+                elif v == 1:
+                    blob = b"\xef\xbb\xbf" + body.format(
+                        meta='<meta charset="utf-8">').encode("utf-8")
+                elif v == 2:
+                    blob = body.format(
+                        meta='<meta charset="windows-1252">').encode("cp1252")
+                elif v == 3:
+                    blob = b"\xff\xfe" + body.format(meta="").encode("utf-16-le")
+                else:
+                    blob = body.format(meta="").encode("latin-1")
+                rows.append({"url": f"cs://{i}", "html": blob})
+            yield pd.DataFrame(rows)
+
+    pages = spark.range(0, 120, 1, 8).mapInPandas(gen, schema=schema)
+    return assemble_text(html_to_words(pages)).select("url", "extracted_text")
+
+
 def q_pdf_extract(spark, sf_dir) -> DataFrame:
     """PDF → byte-identical text through the SAME extraction pipeline as
     HTML (frontend dispatch on the %PDF- magic → content-stream

@@ -125,11 +125,17 @@ class _MainContentParser(HTMLParser):
 
 def parse_html(html_bytes: bytes | bytearray | memoryview | None) -> list[list[list[str]]]:
     """Parse one document; returns pages→lines→words (empty pages dropped —
-    the D8 empty-page filter, data/base.py:419-428)."""
+    the D8 empty-page filter, data/base.py:419-428). Bytes are decoded
+    with WHATWG-style charset sniffing (functions/charset.py: BOM → meta
+    declaration → strict-UTF-8 probe → cp1252), so legacy-encoded crawl
+    pages extract their actual characters; pure-UTF-8 corpora decode
+    exactly as before."""
     if html_bytes is None:
         return []
+    from ..functions.charset import decode_html
+
     p = _MainContentParser()
-    p.feed(bytes(html_bytes).decode("utf-8", errors="replace"))
+    p.feed(decode_html(html_bytes))
     p.close()
     return [pg for pg in p.pages if pg]
 

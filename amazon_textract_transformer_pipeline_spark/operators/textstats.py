@@ -104,3 +104,115 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint",
                     F.expr(X.h64(X.norm_text(text_col, "spark"), "spark")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style document quality filters (Rae et al. 2021 §A1.1 "quality
+# filtering"; Raffel et al. 2020 C4 heuristics) — the standard pretraining
+# web-text rule set, as portable SQL so the driver gate checks exact values
+# against DuckDB.
+# ---------------------------------------------------------------------------
+
+#: Gopher's "must contain ≥2 of these" stop set
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: rule thresholds (Gopher paper values)
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def _char_count(text: str, ch: str, engine: str) -> str:
+    lit = "'" + ch.replace("'", "''") + "'"
+    return (f"(length({text}) - length(replace({text}, {lit}, '')))"
+            if len(ch) == 1 else
+            f"((length({text}) - length(replace({text}, {lit}, ''))) "
+            f"/ {len(ch)})")
+
+
+def gopher_exprs(text: str, engine: str) -> dict[str, str]:
+    """Per-document Gopher/C4 signal + verdict expressions. Pure map-side
+    SQL on both engines — zero shuffle, exact cross-engine values."""
+    ws = X.words(text, engine)
+    size = "size" if engine == "spark" else "len"
+    n = f"{size}({ws})"
+    dbl = "double"
+    if engine == "spark":
+        lines = f"filter(split({text}, '\\n'), l -> trim(l) <> '')"
+        alpha = f"size(filter({ws}, w -> w rlike '[A-Za-z]'))"
+        bullets = (f"size(filter({lines}, l -> "
+                   f"startswith(trim(l), '-') OR startswith(trim(l), '*') "
+                   f"OR startswith(trim(l), '•')))")
+        ellip = (f"size(filter({lines}, l -> "
+                 f"endswith(rtrim(l), '...') OR endswith(rtrim(l), '…')))")
+        stop_hits = (f"size(filter({ws}, w -> "
+                     f"array_contains({_arr(GOPHER_STOPWORDS, engine)}, "
+                     f"lower(w))))")
+    else:
+        lines = (f"list_filter(string_split({text}, chr(10)), "
+                 f"l -> trim(l) != '')")
+        alpha = (f"len(list_filter({ws}, "
+                 f"w -> regexp_matches(w, '[A-Za-z]')))")
+        bullets = (f"len(list_filter({lines}, l -> "
+                   f"starts_with(trim(l), '-') OR starts_with(trim(l), '*') "
+                   f"OR starts_with(trim(l), '•')))")
+        ellip = (f"len(list_filter({lines}, l -> "
+                 f"ends_with(rtrim(l), '...') OR ends_with(rtrim(l), "
+                 f"'…')))")
+        stop_hits = (f"len(list_filter({ws}, w -> "
+                     f"list_contains({_arr(GOPHER_STOPWORDS, engine)}, "
+                     f"lower(w))))")
+    nl = f"{size}({lines})"
+    mean_len = quality_exprs(text, engine)["mean_word_len"]
+    hash_count = _char_count(text, "#", engine)
+    ell_count = _char_count(text, "…", engine)
+    symbol_ratio = (f"round(CASE WHEN {n} = 0 THEN 0.0 ELSE "
+                    f"({hash_count} + {ell_count}) / cast({n} as {dbl}) "
+                    f"END, 6)")
+    bullet_frac = (f"round(CASE WHEN {nl} = 0 THEN 0.0 ELSE "
+                   f"{bullets} / cast({nl} as {dbl}) END, 6)")
+    ellipsis_frac = (f"round(CASE WHEN {nl} = 0 THEN 0.0 ELSE "
+                     f"{ellip} / cast({nl} as {dbl}) END, 6)")
+    alpha_frac = (f"round(CASE WHEN {n} = 0 THEN 0.0 ELSE "
+                  f"{alpha} / cast({n} as {dbl}) END, 6)")
+    out = {
+        "n_words": f"cast({n} as bigint)",
+        "mean_word_len": mean_len,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "gopher_stop_hits": f"cast({stop_hits} as bigint)",
+        "has_curly_brace": f"contains({text}, '{{}}')".replace("{}", "{"),
+        "has_lorem_ipsum": f"contains(lower({text}), 'lorem ipsum')",
+    }
+    out["gopher_pass"] = (
+        f"(({out['n_words']}) BETWEEN {GOPHER_MIN_WORDS} AND "
+        f"{GOPHER_MAX_WORDS})"
+        f" AND (({mean_len}) BETWEEN {GOPHER_MIN_MEAN_LEN} AND "
+        f"{GOPHER_MAX_MEAN_LEN})"
+        f" AND ({symbol_ratio}) <= {GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND ({bullet_frac}) <= {GOPHER_MAX_BULLET_FRAC}"
+        f" AND ({ellipsis_frac}) <= {GOPHER_MAX_ELLIPSIS_FRAC}"
+        f" AND ({alpha_frac}) >= {GOPHER_MIN_ALPHA_FRAC}"
+        f" AND ({out['gopher_stop_hits']}) >= {GOPHER_MIN_STOP_HITS}"
+        f" AND NOT ({out['has_curly_brace']})"
+        f" AND NOT ({out['has_lorem_ipsum']})"
+    )
+    return out
+
+
+def with_gopher_filters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the Gopher/C4 signal + verdict columns. Map-side projection
+    only — composes with any scan and survives predicate pushdown; at
+    corpus scale the verdict column is the pre-training corpus filter
+    (`.filter("gopher_pass")`), applied before any shuffle-bearing stage
+    so dedup/dedup-join volumes shrink first."""
+    out = docs
+    for name, e in gopher_exprs(text_col, "spark").items():
+        out = out.withColumn(name, F.expr(e))
+    return out

@@ -281,3 +281,31 @@ def test_kmeans_centroids_lift_ivf_recall(spark):
     diff = trained.alias("a").join(again.alias("b"), "cent_id") \
         .filter("a.centv <> b.centv").count()
     assert diff == 0
+
+
+def test_gopher_filters_rules(spark):
+    """Each Gopher/C4 rule fires on a targeted violation and a clean doc
+    passes."""
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        with_gopher_filters,
+    )
+
+    good = ("the cat and the hat have fun with all of that . "
+            + "plain words continue here nicely " * 10)
+    docs = spark.createDataFrame(
+        [(0, good),
+         (1, "too short"),                                  # min words
+         (2, "- a\n- b\n- c"),                              # bullets+short
+         (3, "lorem ipsum " + good),                        # lorem
+         (4, "{ code block } " + good),                     # braces
+         (5, good + " ##### " * 30),                        # symbol ratio
+         (6, ("x " * 60).strip())],                         # mean len + stop
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in with_gopher_filters(docs).collect()}
+    assert out[0].gopher_pass
+    assert not out[1].gopher_pass and out[1].n_words == 2
+    assert not out[2].gopher_pass and out[2].bullet_line_frac == 1.0
+    assert not out[3].gopher_pass and out[3].has_lorem_ipsum
+    assert not out[4].gopher_pass and out[4].has_curly_brace
+    assert not out[5].gopher_pass and out[5].symbol_word_ratio > 0.1
+    assert not out[6].gopher_pass and out[6].gopher_stop_hits == 0
