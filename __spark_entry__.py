@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_extract": Q.q_charset_extract,
         # Gopher/C4 pre-training quality filter rules (exact values)
         "gopher_filters": Q.q_gopher_filters,
+        "gopher_repetition": Q.q_gopher_repetition,
     }
 
 
@@ -475,6 +476,62 @@ FROM lines GROUP BY i"""
     )
     gsel = ", ".join(f"{x} AS {k}" for k, x in gopher_exprs("text", "duck").items())
     sqls["gopher_filters"] = f"SELECT doc_id, {gsel} FROM documents"
+
+    # gopher_repetition oracle: duplicate-line HOFs inline; top n-gram char
+    # fractions as staged CTEs (explode grams once per n — DuckDB would
+    # recompute an inline HOF per reference).
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        repetition_exprs,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+        GOPHER_MAX_DUP_LINE_FRAC,
+        GOPHER_MAX_TOP2_CHAR_FRAC,
+        GOPHER_MAX_TOP3_CHAR_FRAC,
+    )
+    rsel = ", ".join(f"{x} AS {k}"
+                     for k, x in repetition_exprs("text", "duck").items())
+    dwords = X.words("text", "duck")
+    total = ("CAST(coalesce(list_sum(list_transform(" + dwords +
+             ", w -> len(w)::BIGINT)), 0) AS BIGINT)")
+
+    def _gram_cte(n):
+        sh = X.shingles(dwords, n, "duck")
+        return f"""
+g{n} AS MATERIALIZED (
+  SELECT doc_id, {total} AS total, unnest({sh}) AS gram FROM documents
+),
+c{n} AS (
+  SELECT doc_id, any_value(total) AS total,
+         max(cnt * len(replace(gram, ' ', ''))) AS top_chars
+  FROM (SELECT doc_id, total, gram, count(*) AS cnt FROM g{n}
+        WHERE len(string_split(gram, ' ')) >= {n}
+        GROUP BY doc_id, total, gram)
+  GROUP BY doc_id
+),
+f{n} AS (
+  SELECT doc_id, round(CASE WHEN total > 0
+         THEN top_chars / total::DOUBLE ELSE 0.0 END, 6)
+         AS top{n}_char_frac
+  FROM c{n}
+)"""
+
+    sqls["gopher_repetition"] = f"""
+WITH {_gram_cte(2).strip()},
+{_gram_cte(3).strip()}
+SELECT d.doc_id, {rsel},
+       coalesce(f2.top2_char_frac, 0.0) AS top2_char_frac,
+       coalesce(f3.top3_char_frac, 0.0) AS top3_char_frac,
+       ({repetition_exprs("text", "duck")["dup_line_frac"]})
+           <= {GOPHER_MAX_DUP_LINE_FRAC}
+       AND ({repetition_exprs("text", "duck")["dup_line_char_frac"]})
+           <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}
+       AND coalesce(f2.top2_char_frac, 0.0) <= {GOPHER_MAX_TOP2_CHAR_FRAC}
+       AND coalesce(f3.top3_char_frac, 0.0) <= {GOPHER_MAX_TOP3_CHAR_FRAC}
+           AS repetition_pass
+FROM documents d
+LEFT JOIN f2 ON f2.doc_id = d.doc_id
+LEFT JOIN f3 ON f3.doc_id = d.doc_id"""
 
     # charset_extract oracle: the decode ladder is what's under test — all
     # five encoding variants of doc i must yield the identical Unicode

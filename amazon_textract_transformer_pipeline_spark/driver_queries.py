@@ -524,6 +524,17 @@ def q_gopher_filters(spark, sf_dir) -> DataFrame:
     return with_gopher_filters(docs.select("doc_id", "text")).drop("text")
 
 
+def q_gopher_repetition(spark, sf_dir) -> DataFrame:
+    """Gopher repetition-removal signals: duplicate-line fractions
+    (map-side HOFs) + top-2/3-gram character fractions (one (doc, gram)
+    shuffle each with map-side partials) + combined verdict — exact
+    against the same definitions replayed as staged DuckDB CTEs."""
+    from .operators.textstats import with_repetition_filters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_repetition_filters(docs.select("doc_id", "text")).drop("text")
+
+
 def q_charset_extract(spark, sf_dir) -> DataFrame:
     """Charset-sniffing front-end over a mixed-encoding corpus: the same
     accented text served as plain UTF-8, BOM'd UTF-8 + meta, cp1252 +

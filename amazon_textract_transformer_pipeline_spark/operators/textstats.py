@@ -216,3 +216,105 @@ def with_gopher_filters(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for name, e in gopher_exprs(text_col, "spark").items():
         out = out.withColumn(name, F.expr(e))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters (Rae et al. 2021 Table A1, "repetition removal"):
+# duplicate-line fractions are per-doc HOF expressions (map-side, both
+# engines); top n-gram character fractions are relational (one shuffle on
+# (doc, gram) with map-side partials — the mode of a per-doc distribution
+# cannot be a scalar expression).
+# ---------------------------------------------------------------------------
+
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_TOP2_CHAR_FRAC = 0.20
+GOPHER_MAX_TOP3_CHAR_FRAC = 0.18
+
+
+def repetition_exprs(text: str, engine: str) -> dict[str, str]:
+    """Duplicate-line signals. Definitions (pinned for the oracle):
+    a *duplicate* is any occurrence of a line after its first;
+    ``dup_line_frac`` = duplicates / lines, ``dup_line_char_frac`` =
+    characters in duplicate occurrences / characters in all lines.
+    Empty/whitespace-only lines are dropped first."""
+    if engine == "spark":
+        lines = f"filter(transform(split({text}, '\\n'), l -> trim(l)), " \
+                f"l -> l <> '')"
+        dist = f"array_distinct({lines})"
+        chars = ("aggregate(transform({a}, l -> cast(length(l) as bigint)), "
+                 "cast(0 as bigint), (a, x) -> a + x)")
+        n, nd = f"size({lines})", f"size({dist})"
+    else:
+        lines = (f"list_filter(list_transform(string_split({text}, chr(10)),"
+                 f" l -> trim(l)), l -> l != '')")
+        dist = f"list_distinct({lines})"
+        chars = ("CAST(coalesce(list_sum(list_transform({a}, "
+                 "l -> len(l)::BIGINT)), 0) AS BIGINT)")
+        n, nd = f"len({lines})", f"len({dist})"
+    all_chars = chars.format(a=lines)
+    dist_chars = chars.format(a=dist)
+    return {
+        "dup_line_frac": (
+            f"round(CASE WHEN {n} = 0 THEN 0.0 ELSE "
+            f"({n} - {nd}) / cast({n} as double) END, 6)"),
+        "dup_line_char_frac": (
+            f"round(CASE WHEN ({all_chars}) = 0 THEN 0.0 ELSE "
+            f"(({all_chars}) - ({dist_chars})) / "
+            f"cast({all_chars} as double) END, 6)"),
+    }
+
+
+def _top_ngram_frac(docs: DataFrame, n: int, text_col: str,
+                    id_col: str) -> DataFrame:
+    """(_id, top{n}_char_frac): characters covered by the most frequent
+    word n-gram / total word characters — frac = max over grams of
+    count × gram_word_chars, divided by total word chars; docs with < n
+    words score 0 (the shingle fallback row is filtered out).
+
+    Plan: explode grams (map-side) → (id, gram) hash agg with partials →
+    per-id max — 1 shuffle; only the max char count is needed, never the
+    winning gram itself, so there is no tie-break to keep cross-engine
+    deterministic."""
+    ws = X.words(text_col, "spark")
+    total = F.expr(
+        f"aggregate(transform({ws}, w -> cast(length(w) as bigint)), "
+        f"cast(0 as bigint), (a, x) -> a + x)")
+    counted = (
+        docs.select(F.col(id_col).alias("_id"), total.alias("_total"),
+                    F.explode(F.expr(X.shingles(ws, n, "spark")))
+                    .alias("gram"))
+        .filter(F.expr(f"size(split(gram, ' '))") >= n)
+        .groupBy("_id", "_total", "gram").agg(F.count("*").alias("cnt"))
+        .select("_id", "_total",
+                (F.col("cnt") * F.expr("length(replace(gram, ' ', ''))"))
+                .alias("gchars"))
+        .groupBy("_id", "_total").agg(F.max("gchars").alias("top_chars"))
+    )
+    return counted.select(
+        F.col("_id"),
+        F.round(F.when(F.col("_total") > 0,
+                       F.col("top_chars") / F.col("_total").cast("double"))
+                .otherwise(F.lit(0.0)), 6).alias(f"top{n}_char_frac"))
+
+
+def with_repetition_filters(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Append duplicate-line signals (map-side), top-2/3-gram character
+    fractions (one shuffle each, reusing the same scan), and the combined
+    ``repetition_pass`` verdict at the Gopher thresholds."""
+    out = docs
+    for name, e in repetition_exprs(text_col, "spark").items():
+        out = out.withColumn(name, F.expr(e))
+    for n in (2, 3):
+        frac = _top_ngram_frac(docs, n, text_col, id_col)
+        out = out.join(frac, out[id_col] == frac["_id"], "left") \
+            .drop("_id") \
+            .withColumn(f"top{n}_char_frac",
+                        F.coalesce(f"top{n}_char_frac", F.lit(0.0)))
+    return out.withColumn(
+        "repetition_pass",
+        (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (F.col("dup_line_char_frac") <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+        & (F.col("top2_char_frac") <= GOPHER_MAX_TOP2_CHAR_FRAC)
+        & (F.col("top3_char_frac") <= GOPHER_MAX_TOP3_CHAR_FRAC))

@@ -309,3 +309,26 @@ def test_gopher_filters_rules(spark):
     assert not out[4].gopher_pass and out[4].has_curly_brace
     assert not out[5].gopher_pass and out[5].symbol_word_ratio > 0.1
     assert not out[6].gopher_pass and out[6].gopher_stop_hits == 0
+
+
+def test_repetition_filters_rules(spark):
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        with_repetition_filters,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb\ncc dd\naa bb\nee ff"),   # 1 dup line of 4 (25%)
+         (1, "x y x y x y x y"),              # overlapping top-gram > 1.0
+         (2, "spam spam\n" * 5),              # heavy line dup
+         (3, "one"),                          # < n words → gram fracs 0
+         (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in with_repetition_filters(docs).collect()}
+    assert out[0].dup_line_frac == 0.25
+    assert out[0].dup_line_char_frac == 0.25  # all lines 5 chars
+    assert out[1].top2_char_frac == 1.0       # "x y" ×4, 8 chars / 8
+    assert out[1].top3_char_frac > 1.0        # overlap exceeds 1 by design
+    assert not out[1].repetition_pass
+    assert out[2].dup_line_frac == 0.8 and not out[2].repetition_pass
+    assert out[3].top2_char_frac == 0.0 and out[3].repetition_pass
+    assert out[4].repetition_pass
