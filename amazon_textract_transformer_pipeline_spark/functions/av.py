@@ -191,3 +191,241 @@ def encode_mp4_stub(duration_s: float, width: int, height: int,
             + struct.pack(">II", width << 16, height << 16))
     moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
     return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+# --------------------------------------------------------------------------
+# MP4 sample tables + Motion-JPEG frame decode
+# --------------------------------------------------------------------------
+# The round-3 verdict left "MP4 frame decode" as an external-tool seam
+# because H.264 entropy decode is out of scope for a from-scratch engine.
+# Motion-JPEG, however, is not: MJPEG samples are verbatim T.81 JPEG
+# frames addressed by the stbl sample table, and functions/jpeg.py already
+# decodes those natively. So the honest split is: sample-table walk +
+# MJPEG decode native; avc1/hev1/mp4v stay seamed (ValueError → the
+# per-record error column, exactly like arithmetic-coded JPEG).
+
+_VIDEO_HANDLER = b"vide"
+_MJPEG_FORMATS = {"jpeg", "mjpa", "mjpb"}
+
+
+def _walk_boxes(blob: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", blob, pos)
+        btype = blob[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", blob, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(blob: bytes, start: int, end: int, *path: bytes):
+    """Body range of the first box at a nested path, or None."""
+    for btype, b0, b1 in _walk_boxes(blob, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return b0, b1
+            return _find_box(blob, b0, b1, *path[1:])
+    return None
+
+
+def mp4_sample_tables(blob: bytes) -> list[dict]:
+    """Per-track sample tables: {handler, format, width, height,
+    samples: [(offset, size)], timescale, deltas}. Structure walk only —
+    no codec work; (offset, size) pairs address verbatim sample bytes in
+    the file (stsc × stco/co64 × stsz expansion, ISO 14496-12 §8.7)."""
+    if len(blob) < 12 or blob[4:8] != b"ftyp":
+        raise ValueError("MP4: no ftyp box")
+    moov = _find_box(blob, 0, len(blob), b"moov")
+    if moov is None:
+        raise ValueError("MP4: no moov box")
+    tracks = []
+    for btype, t0, t1 in _walk_boxes(blob, *moov):
+        if btype != b"trak":
+            continue
+        mdia = _find_box(blob, t0, t1, b"mdia")
+        if mdia is None:
+            continue
+        handler = None
+        hd = _find_box(blob, *mdia, b"hdlr")
+        if hd:
+            handler = blob[hd[0] + 8:hd[0] + 12]
+        timescale = None
+        mh = _find_box(blob, *mdia, b"mdhd")
+        if mh:
+            ver = blob[mh[0]]
+            (timescale,) = struct.unpack_from(
+                ">I", blob, mh[0] + (20 if ver == 1 else 12))
+        stbl = _find_box(blob, *mdia, b"minf", b"stbl")
+        if stbl is None:
+            continue
+        fmt = width = height = None
+        sizes: list[int] = []
+        chunk_offsets: list[int] = []
+        stsc_runs: list[tuple[int, int]] = []
+        deltas: list[tuple[int, int]] = []
+        for sb, b0, b1 in _walk_boxes(blob, *stbl):
+            if sb == b"stsd" and b1 - b0 >= 16:
+                (n_entries,) = struct.unpack_from(">I", blob, b0 + 4)
+                if n_entries >= 1:
+                    fmt = blob[b0 + 12:b0 + 16].decode("ascii", "replace")
+                    if b1 - b0 >= 44:  # video sample entry dims
+                        width, height = struct.unpack_from(
+                            ">HH", blob, b0 + 40)
+            elif sb == b"stsz":
+                uniform, count = struct.unpack_from(">II", blob, b0 + 4)
+                if uniform:
+                    sizes = [uniform] * count
+                else:
+                    sizes = list(struct.unpack_from(
+                        f">{count}I", blob, b0 + 12))
+            elif sb == b"stco":
+                (count,) = struct.unpack_from(">I", blob, b0 + 4)
+                chunk_offsets = list(struct.unpack_from(
+                    f">{count}I", blob, b0 + 8))
+            elif sb == b"co64":
+                (count,) = struct.unpack_from(">I", blob, b0 + 4)
+                chunk_offsets = list(struct.unpack_from(
+                    f">{count}Q", blob, b0 + 8))
+            elif sb == b"stsc":
+                (count,) = struct.unpack_from(">I", blob, b0 + 4)
+                for i in range(count):
+                    first, spc, _sdix = struct.unpack_from(
+                        ">III", blob, b0 + 8 + 12 * i)
+                    stsc_runs.append((first, spc))
+            elif sb == b"stts":
+                (count,) = struct.unpack_from(">I", blob, b0 + 4)
+                for i in range(count):
+                    deltas.append(struct.unpack_from(
+                        ">II", blob, b0 + 8 + 8 * i))
+        # stsc × stco × stsz → per-sample (offset, size)
+        samples: list[tuple[int, int]] = []
+        if sizes and chunk_offsets and stsc_runs:
+            six = 0
+            for ci, coff in enumerate(chunk_offsets, start=1):
+                spc = stsc_runs[0][1]
+                for first, n in stsc_runs:
+                    if first <= ci:
+                        spc = n
+                    else:
+                        break
+                off = coff
+                for _ in range(spc):
+                    if six >= len(sizes):
+                        break
+                    samples.append((off, sizes[six]))
+                    off += sizes[six]
+                    six += 1
+        tracks.append({"handler": handler, "format": fmt,
+                       "width": width, "height": height,
+                       "samples": samples, "timescale": timescale,
+                       "deltas": deltas})
+    return tracks
+
+
+def mp4_extract_samples(blob: bytes,
+                        max_samples: int | None = None) -> list[bytes]:
+    """Verbatim sample payloads of the first video track (codec-agnostic:
+    for MJPEG these are complete JPEG files; for avc1 they are
+    length-prefixed NAL units a downstream decoder seam consumes)."""
+    for trk in mp4_sample_tables(blob):
+        if trk["handler"] == _VIDEO_HANDLER or trk["width"]:
+            out = []
+            for off, size in trk["samples"][:max_samples]:
+                if off + size <= len(blob):
+                    out.append(blob[off:off + size])
+            return out
+    return []
+
+
+def decode_mjpeg_frames(blob: bytes, max_frames: int | None = None):
+    """MJPEG MP4 → [((h, w, 3) uint8 RGB, None)] via the built-in T.81
+    decoder. Non-MJPEG video codecs raise ValueError (the external
+    decoder seam — same contract as arithmetic-coded JPEG)."""
+    from .jpeg import decode_jpeg
+
+    tracks = [t for t in mp4_sample_tables(blob)
+              if t["handler"] == _VIDEO_HANDLER or t["width"]]
+    if not tracks:
+        raise ValueError("MP4: no video track")
+    trk = tracks[0]
+    if (trk["format"] or "") not in _MJPEG_FORMATS:
+        raise ValueError(
+            f"MP4: codec {trk['format']!r} needs an external decoder "
+            "(native path covers Motion-JPEG: jpeg/mjpa/mjpb)")
+    frames = []
+    for sample in mp4_extract_samples(blob, max_samples=max_frames):
+        frames.append(decode_jpeg(sample))
+    if not frames:
+        raise ValueError("MP4: video track has no samples")
+    return frames
+
+
+def encode_mjpeg_mp4(jpeg_frames: list[bytes], fps: int = 10,
+                     width: int | None = None,
+                     height: int | None = None) -> bytes:
+    """Minimal valid MJPEG MP4 fixture: ftyp + mdat (verbatim JPEG
+    samples, one chunk) + moov with the full stbl sample table
+    (stsd 'jpeg' video sample entry, stts/stsc/stsz/stco)."""
+    from .codecs import sniff_dimensions
+
+    if not jpeg_frames:
+        raise ValueError("encode_mjpeg_mp4: no frames")
+    if width is None or height is None:
+        dims = sniff_dimensions(jpeg_frames[0])
+        width, height = dims if dims else (0, 0)
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def fbox(btype: bytes, body: bytes) -> bytes:  # full box v0 flags 0
+        return box(btype, b"\x00\x00\x00\x00" + body)
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    payload = b"".join(jpeg_frames)
+    mdat = box(b"mdat", payload)
+    data_off = len(ftyp) + 8  # first sample offset inside the file
+
+    n = len(jpeg_frames)
+    timescale = fps * 100
+    dur = n * 100
+
+    entry = (struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6
+             + struct.pack(">H", 1)            # data_reference_index
+             + b"\x00" * 16                    # pre_defined/reserved
+             + struct.pack(">HH", width, height)
+             + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+             + b"\x00" * 4 + struct.pack(">H", 1)          # frame_count
+             + b"\x0bMotion-JPEG" + b"\x00" * 20           # compressor
+             + struct.pack(">Hh", 24, -1))     # depth, pre_defined
+    stsd = fbox(b"stsd", struct.pack(">I", 1) + entry)
+    stts = fbox(b"stts", struct.pack(">III", 1, n, 100))
+    stsc = fbox(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stsz = fbox(b"stsz", struct.pack(">II", 0, n)
+                + b"".join(struct.pack(">I", len(f)) for f in jpeg_frames))
+    stco = fbox(b"stco", struct.pack(">II", 1, data_off))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = fbox(b"dref", struct.pack(">I", 1)
+                + struct.pack(">I", 12) + b"url " + b"\x00\x00\x00\x01")
+    dinf = box(b"dinf", dref)
+    vmhd = box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    hdlr = fbox(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+    mdhd = fbox(b"mdhd", b"\x00" * 8 + struct.pack(">II", timescale, dur)
+                + b"\x55\xc4\x00\x00")
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+               + struct.pack(">II", width << 16, height << 16))
+    mvhd = fbox(b"mvhd", b"\x00" * 8 + struct.pack(">II", timescale, dur)
+                + b"\x00" * 80)
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov

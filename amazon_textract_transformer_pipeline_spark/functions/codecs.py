@@ -782,6 +782,12 @@ def _count_frames(blob: bytes) -> int:
     if fmt == "pdf":
         from .pdf import pdf_meta
         return pdf_meta(blob)["n_pages"]
+    if fmt == "mp4":
+        from .av import mp4_sample_tables
+        for trk in mp4_sample_tables(blob):
+            if trk["handler"] == b"vide" or trk["width"]:
+                return max(len(trk["samples"]), 1)
+        return 1
     return 1
 
 

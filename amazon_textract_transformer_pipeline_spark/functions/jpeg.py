@@ -178,6 +178,8 @@ class _BitReader:
         return v
 
     def decode(self, table: dict[tuple[int, int], int]) -> int:
+        if table is None:  # scan referenced an undefined DHT slot
+            raise ValueError("JPEG: scan references undefined Huffman table")
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.read(1)

@@ -467,6 +467,9 @@ def auto_decode_fn(blob: bytes):
             return pdf_rasterize_fn(blob)
         except NotImplementedError as e:
             raise ValueError(str(e)) from e
+    if fmt == "mp4":  # still-image view of a video = its first frame
+        from ..functions.av import decode_mjpeg_frames
+        return decode_mjpeg_frames(blob, max_frames=1)[0]
     if fmt in ("png", "bmp", "ppm", "pgm", "tiff", "gif"):
         return codecs.builtin_decode_fn(blob)
     try:
@@ -508,6 +511,12 @@ def multiframe_thumbnails(media: DataFrame, size=(224, 224),
                             blob, max_frames=max_frames)
                     elif fmt == "gif":
                         frames = codecs.decode_gif_frames(
+                            blob, max_frames=max_frames)
+                    elif fmt == "mp4":
+                        # native for Motion-JPEG tracks; other codecs
+                        # raise into the error column (decoder seam)
+                        from ..functions.av import decode_mjpeg_frames
+                        frames = decode_mjpeg_frames(
                             blob, max_frames=max_frames)
                     else:
                         frames = [auto_decode_fn(blob)]

@@ -106,3 +106,70 @@ def test_decode_metadata_sniffed_format_without_dims(spark):
     meta = {r.media_id: r for r in decode_metadata(media).collect()}
     assert meta[0].valid and meta[0].format == "webp" and meta[0].width is None
     assert meta[1].valid and meta[1].format == "mp4" and meta[1].width is None
+
+
+def _mjpeg_fixture(n_frames=3, shape=(24, 32)):
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_spark.functions import av, jpeg
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    h, w = shape
+    frames = []
+    for _ in range(n_frames):
+        img = np.clip(
+            np.linspace(0, 255, h * w * 3).reshape(h, w, 3)
+            + rng.normal(0, 20, (h, w, 3)), 0, 255).astype(np.uint8)
+        frames.append(jpeg.encode_jpeg(img, quality=85))
+    return frames, av.encode_mjpeg_mp4(frames, fps=5)
+
+
+def test_mjpeg_mp4_samples_byte_identical():
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_spark.functions import av, jpeg
+
+    frames, blob = _mjpeg_fixture(4)
+    assert av.mp4_extract_samples(blob) == frames  # verbatim sample bytes
+    dec = av.decode_mjpeg_frames(blob)
+    assert len(dec) == 4
+    for f, (arr, orient) in zip(frames, dec):
+        assert np.array_equal(arr, jpeg.decode_jpeg(f)[0])
+        assert orient is None
+    # max_frames caps the decode
+    assert len(av.decode_mjpeg_frames(blob, max_frames=2)) == 2
+    # metadata sniff agrees with the writer
+    m = av.sniff_mp4_meta(blob)
+    assert (m["width"], m["height"]) == (32, 24)
+    t = av.mp4_sample_tables(blob)[0]
+    assert t["format"] == "jpeg" and len(t["samples"]) == 4
+
+
+def test_mjpeg_mp4_count_frames_and_nonmjpeg_seam():
+    import pytest
+
+    from amazon_textract_transformer_pipeline_spark.functions import av, codecs
+
+    frames, blob = _mjpeg_fixture(3)
+    assert codecs.sniff_format(blob) == "mp4"
+    assert codecs.count_frames(blob) == 3
+    # metadata-only stub (no samples): count falls back to 1
+    stub = av.encode_mp4_stub(2.0, 64, 48)
+    assert codecs.count_frames(stub) == 1
+    # a non-MJPEG codec id goes to the external decoder seam
+    fake_avc = blob.replace(b"jpeg", b"avc1", 1)  # stsd entry format
+    with pytest.raises(ValueError, match="external decoder"):
+        av.decode_mjpeg_frames(fake_avc)
+
+
+def test_mjpeg_mp4_through_multiframe_thumbnails(spark):
+    from amazon_textract_transformer_pipeline_spark.operators.multimodal import (
+        multiframe_thumbnails,
+    )
+
+    _, blob = _mjpeg_fixture(3)
+    media = spark.createDataFrame([(0, bytearray(blob))],
+                                  "media_id long, blob binary")
+    rows = multiframe_thumbnails(media, size=(16, 16)).collect()
+    assert [r.frame_ix for r in rows] == [0, 1, 2]
+    assert all(r.error is None and r.width == 16 for r in rows)
