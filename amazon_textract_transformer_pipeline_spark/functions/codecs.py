@@ -44,6 +44,7 @@ not the ceiling.
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 
@@ -78,9 +79,22 @@ def sniff_format(blob: bytes) -> str | None:
     if blob.startswith(b"RIFF") and blob[8:12] == b"WEBP":
         return "webp"
     if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        # ISO-BMFF family: refine by major brand — AVIF/HEIC are image
+        # containers carried in the same box structure as video MP4s
+        brand = blob[8:12]
+        if brand in (b"avif", b"avis"):
+            return "avif"
+        if brand in (b"heic", b"heix", b"mif1", b"msf1"):
+            return "heif"
         return "mp4"
     if blob.startswith(b"%PDF-"):
         return "pdf"
+    if blob.startswith(b"\x00\x00\x01\x00") and len(blob) >= 6:
+        return "ico"
+    head = blob[:256].lstrip()
+    if head.startswith(b"<svg") or (head.startswith(b"<?xml")
+                                    and b"<svg" in blob[:1024]):
+        return "svg"
     return None
 
 
@@ -1259,6 +1273,26 @@ def sniff_dimensions(blob: bytes) -> tuple[int, int] | None:
             # are scalable — pdf.render_plan gives the 300-DPI pixel dims)
             from .pdf import pdf_page_dims
             return pdf_page_dims(blob)
+        if fmt == "ico":
+            w, h = blob[6], blob[7]  # first directory entry; 0 means 256
+            return (w or 256, h or 256)
+        if fmt in ("avif", "heif"):
+            # targeted scan for the ispe (image spatial extents) property:
+            # size(4) 'ispe' version/flags(4) width(4) height(4)
+            ix = blob.find(b"ispe")
+            if ix >= 4 and ix + 16 <= len(blob):
+                w, h = struct.unpack_from(">II", blob, ix + 8)
+                if w and h:
+                    return int(w), int(h)
+            return None
+        if fmt == "svg":
+            m = re.search(rb'<svg[^>]{0,512}?\bwidth\s*=\s*["\']'
+                          rb'(\d+)(?:px)?["\']', blob[:1024])
+            m2 = re.search(rb'<svg[^>]{0,512}?\bheight\s*=\s*["\']'
+                           rb'(\d+)(?:px)?["\']', blob[:1024])
+            if m and m2:
+                return int(m.group(1)), int(m2.group(1))
+            return None
         if fmt == "jpeg":
             pos = 2
             while pos + 4 <= len(blob):

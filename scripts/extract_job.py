@@ -25,6 +25,9 @@ import sys
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="parquet pages table (url, warc_ts, html, text, lang)")
+    ap.add_argument("--input-warc", help="directory of *.warc.gz archives "
+                    "(ingested directly via sources/warc.py — no upstream "
+                    "ETL step)")
     ap.add_argument("--output", required=True, help="result root directory")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--synthetic", type=int, default=0,
@@ -48,10 +51,16 @@ def main() -> None:
         )
 
         pages = synthetic_pages_df(spark, args.synthetic, seed=42)
+    elif args.input_warc:
+        from amazon_textract_transformer_pipeline_spark.sources.warc import (
+            read_warc,
+        )
+
+        pages = read_warc(spark, args.input_warc)
     elif args.input:
         pages = spark.read.parquet(args.input)
     else:
-        ap.error("one of --input / --synthetic is required")
+        ap.error("one of --input / --input-warc / --synthetic is required")
 
     store = LineageStore(args.output, n_buckets=args.buckets)
     store.validate(spark)  # demote buckets whose on-disk data diverged

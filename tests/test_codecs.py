@@ -572,3 +572,35 @@ def test_png_16bit_msb_downsample():
                      for y in range(2))
     out, _ = codecs.decode_png(_png_file(4, 2, 16, 2, lines))
     np.testing.assert_array_equal(out, (px16 >> 8).astype(np.uint8))
+
+
+def test_sniff_ico_avif_heif_svg():
+    """D1 refinements: ISO-BMFF brand split (AVIF/HEIC vs video MP4),
+    ICO directory dims (0 means 256), SVG numeric width/height attrs."""
+    import struct
+
+    from amazon_textract_transformer_pipeline_spark.functions import codecs
+
+    ico = b"\x00\x00\x01\x00\x01\x00" + bytes([32, 64]) + b"\x00" * 8
+    assert codecs.sniff_format(ico) == "ico"
+    assert codecs.sniff_dimensions(ico) == (32, 64)
+    ico256 = b"\x00\x00\x01\x00\x01\x00" + bytes([0, 0]) + b"\x00" * 8
+    assert codecs.sniff_dimensions(ico256) == (256, 256)
+
+    ispe = struct.pack(">I", 20) + b"ispe" + b"\x00" * 4 \
+        + struct.pack(">II", 800, 600)
+    avif = struct.pack(">I", 16) + b"ftyp" + b"avif" + b"\x00" * 4 + ispe
+    assert codecs.sniff_format(avif) == "avif"
+    assert codecs.sniff_dimensions(avif) == (800, 600)
+    heic = struct.pack(">I", 16) + b"ftyp" + b"heic" + b"\x00" * 4 + ispe
+    assert codecs.sniff_format(heic) == "heif"
+    mp4 = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    assert codecs.sniff_format(mp4) == "mp4"
+
+    svg = (b'<?xml version="1.0"?>\n<svg xmlns="http://www.w3.org/2000/svg"'
+           b' width="120" height="80px"><rect/></svg>')
+    assert codecs.sniff_format(svg) == "svg"
+    assert codecs.sniff_dimensions(svg) == (120, 80)
+    nodims = b'<svg viewBox="0 0 10 10"/>'
+    assert codecs.sniff_format(nodims) == "svg"
+    assert codecs.sniff_dimensions(nodims) is None
