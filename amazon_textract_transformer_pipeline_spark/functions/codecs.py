@@ -23,6 +23,9 @@ numpy:
   Compression none/LZW(+Predictor 2)/PackBits, Orientation tag.
 - **GIF** (87a/89a): global/local color tables, GIF-variant LZW,
   interlace, transparency, multi-frame canvas compositing.
+- **WebP lossless (VP8L)** in the sibling ``functions/webp.py`` (prefix
+  codes, color cache, LZ77, all four transforms); lossy VP8 stays an
+  external-codec seam.
 
 Matching encoders (:func:`encode_png`, :func:`encode_bmp`,
 :func:`encode_ppm`, :func:`encode_tiff`, :func:`encode_gif`) exist so
@@ -511,11 +514,17 @@ def _decode_jpeg(blob):
     return decode_jpeg(blob)
 
 
+def _decode_webp(blob):
+    from .webp import decode_webp  # sibling module (VP8L lossless)
+    return decode_webp(blob)
+
+
 _DECODERS = {"png": decode_png, "bmp": decode_bmp,
              "ppm": decode_ppm, "pgm": decode_ppm,
              "tiff": lambda blob: decode_tiff(blob),   # defined below
              "gif": lambda blob: decode_gif(blob),     # defined below
-             "jpeg": _decode_jpeg}
+             "jpeg": _decode_jpeg,
+             "webp": _decode_webp}
 
 
 #: exception types a truncated/bit-flipped container can surface from the

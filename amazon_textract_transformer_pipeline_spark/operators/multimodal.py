@@ -643,14 +643,14 @@ def synth_real_media_df(spark, n: int, seed: int = 42,
     produced by the built-in encoders) — the real-format counterpart of
     :func:`synth_media_df` for exercising the full decode path at corpus
     scale. Same schema: (media_id, kind, blob)."""
-    from ..functions import codecs, jpeg
+    from ..functions import codecs, jpeg, webp
 
     schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
         T.StructField("blob", T.BinaryType(), False),
     ])
-    kinds = ("png", "jpeg", "bmp", "tiff", "gif")
+    kinds = ("png", "jpeg", "bmp", "tiff", "gif", "webp")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -680,8 +680,12 @@ def synth_real_media_df(spark, n: int, seed: int = 42,
                     blob = codecs.encode_tiff(
                         [arr, arr2], compression=(1, 5, 32773)[i % 3],
                         predictor=2 if i % 3 == 1 else 1)
-                else:
+                elif kind == "gif":
                     blob = codecs.encode_gif([arr], interlace=bool(i % 2))
+                else:
+                    blob = webp.encode_webp_lossless(
+                        arr, subtract_green=bool(i % 2),
+                        cache_bits=(i % 5) or 0, rle=bool(i % 3))
                 rows.append({"media_id": i, "kind": kind, "blob": blob})
             yield pd.DataFrame(rows)
 

@@ -175,7 +175,8 @@ def test_builtin_decode_fn_dispatch_and_unsupported():
     arr = _rgb(3, 3, seed=17)
     out, _ = codecs.builtin_decode_fn(codecs.encode_bmp(arr))
     np.testing.assert_array_equal(out, arr)
-    with pytest.raises(ValueError, match="webp"):
+    # webp now dispatches to the VP8L decoder (empty container → error)
+    with pytest.raises(ValueError, match="WebP"):
         codecs.builtin_decode_fn(b"RIFF\x00\x00\x00\x00WEBP")
     with pytest.raises(ValueError, match="unknown"):
         codecs.builtin_decode_fn(b"total garbage")
@@ -389,7 +390,7 @@ def test_synth_real_media_full_decode_path(spark):
 
     media = synth_real_media_df(spark, 40, seed=9).cache()
     assert {r.kind for r in media.select("kind").distinct().collect()} == \
-        {"png", "jpeg", "bmp", "tiff", "gif"}
+        {"png", "jpeg", "bmp", "tiff", "gif", "webp"}
     # determinism
     a = media.selectExpr("media_id", "md5(blob) h").collect()
     b = synth_real_media_df(spark, 40, seed=9) \

@@ -367,7 +367,7 @@ def test_pdf_roundtrip_property(n_pages, dialect, seed):
 
 
 @given(st.sampled_from(["png", "bmp", "ppm", "tiff", "gif", "jpeg",
-                        "pdf", "wav", "mp4"]),
+                        "pdf", "wav", "mp4", "webp"]),
        st.integers(0, 3000), st.integers(0, 2**32 - 1), st.booleans())
 @settings(max_examples=120, deadline=None)
 def test_mutated_containers_stay_in_error_channel(fmt, cut, seed, flip):
@@ -404,6 +404,9 @@ def test_mutated_containers_stay_in_error_channel(fmt, cut, seed, flip):
                                "lines": ["fuzz me"]}])
     elif fmt == "mp4":
         blob = av.encode_mjpeg_mp4([jpeg.encode_jpeg(arr)], fps=5)
+    elif fmt == "webp":
+        from amazon_textract_transformer_pipeline_spark.functions import webp
+        blob = webp.encode_webp_lossless(arr, cache_bits=3)
     else:
         blob = av.encode_wav(np.zeros(64), 8000)
 

@@ -155,3 +155,28 @@ def test_pdf_rasterize_seam_matches_render_plan():
     want_w, want_h = pdf.render_plan(144, 216, dpi=300)
     assert arr.shape == (want_h, want_w, 3)
     assert orientation is None
+
+
+def test_pil_cross_validates_vp8l():
+    """Both directions: PIL/libwebp decodes our VP8L byte-exactly, and a
+    PIL-encoded lossless WebP decodes byte-exactly in our decoder
+    (real-world streams use transform combinations our fixture writer
+    never emits at once)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from amazon_textract_transformer_pipeline_spark.functions import webp
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    img = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    ours = webp.encode_webp_lossless(img, subtract_green=True,
+                                     predictor_mode=11)
+    via_pil = np.asarray(PIL_Image.open(io.BytesIO(ours)).convert("RGB"))
+    assert np.array_equal(via_pil, img)
+
+    buf = io.BytesIO()
+    PIL_Image.fromarray(img).save(buf, format="WEBP", lossless=True,
+                                  quality=100)
+    theirs = buf.getvalue()
+    out, orient = webp.decode_webp(theirs)
+    assert np.array_equal(out, img) and orient is None
