@@ -97,12 +97,27 @@ def sniff_charset(data: bytes) -> str:
 
 def decode_html(data: bytes | bytearray | memoryview | None) -> str:
     """Bytes → text with charset sniffing; undecodable bytes under the
-    detected codec degrade to U+FFFD, never an exception."""
+    detected codec degrade to U+FFFD, never an exception.
+
+    Hot path: the all-UTF-8 common case decodes exactly once — the
+    strict attempt IS the probe (``sniff_charset`` would decode twice)."""
     if data is None:
         return ""
     data = bytes(data)
-    codec = sniff_charset(data)
+    for bom, codec in _BOMS:
+        if data.startswith(bom):
+            return data.decode(codec, errors="replace")
+    head = data[:_PRESCAN]
+    m = _META_CHARSET_RE.search(head) or _XML_DECL_RE.search(head)
+    if m:
+        codec = normalize_label(m.group(1).decode("ascii", "replace"))
+        if codec is not None and not (codec.startswith("utf-16")
+                                      or codec.startswith("utf-32")):
+            try:
+                return data.decode(codec, errors="replace")
+            except (LookupError, ValueError):
+                pass
     try:
-        return data.decode(codec, errors="replace")
-    except (LookupError, ValueError):  # defensive: registry surprises
-        return data.decode("utf-8", errors="replace")
+        return data.decode("utf-8", errors="strict")
+    except (UnicodeDecodeError, ValueError):
+        return data.decode("cp1252", errors="replace")

@@ -67,25 +67,39 @@ _DIST_MAP = [
 
 
 class _Bits:
-    """LSB-first bit reader (VP8L convention — opposite of JPEG)."""
+    """LSB-first bit reader (VP8L convention — opposite of JPEG) with a
+    zero-padded peek window for table-based prefix decode. Consuming more
+    than 32 padding bits past the end raises (truncated stream)."""
 
     def __init__(self, data: bytes):
-        self.data = data
+        self.data = data + b"\x00\x00\x00\x00"
+        self.nbits = len(data) * 8
         self.pos = 0      # bit position
 
+    def peek(self, k: int) -> int:
+        byte = self.pos >> 3
+        chunk = int.from_bytes(self.data[byte:byte + 4], "little") \
+            >> (self.pos & 7)
+        return chunk & ((1 << k) - 1)
+
+    def skip(self, k: int) -> None:
+        self.pos += k
+        if self.pos > self.nbits + 32:
+            raise ValueError("VP8L: bitstream truncated")
+
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte = self.pos >> 3
-            if byte >= len(self.data):
-                raise ValueError("VP8L: bitstream truncated")
-            v |= ((self.data[byte] >> (self.pos & 7)) & 1) << i
-            self.pos += 1
+        if n > 24:
+            lo = self.read(16)
+            return lo | (self.read(n - 16) << 16)
+        v = self.peek(n)
+        self.skip(n)
         return v
 
 
 class _Prefix:
-    """Canonical prefix code: decode bit-by-bit, first-read bit = MSB."""
+    """Canonical prefix code (first-read bit = MSB of the code) as a
+    flat lookup table indexed by bit-reversed code prefixes — one peek +
+    two array reads per symbol instead of a bit-by-bit tree walk."""
 
     def __init__(self, lengths: list[int]):
         nz = [(s, ln) for s, ln in enumerate(lengths) if ln > 0]
@@ -93,10 +107,11 @@ class _Prefix:
             raise ValueError("VP8L: empty prefix code")
         if len(nz) == 1:
             self.const: int | None = nz[0][0]
-            self.table: dict[tuple[int, int], int] = {}
             return
         self.const = None
         max_len = max(ln for _, ln in nz)
+        if max_len > 15:
+            raise ValueError("VP8L: code length > 15")
         bl_count = [0] * (max_len + 1)
         for _, ln in nz:
             bl_count[ln] += 1
@@ -105,26 +120,33 @@ class _Prefix:
         for ln in range(1, max_len + 1):
             code = (code + bl_count[ln - 1]) << 1
             next_code[ln] = code
-        self.table = {}
+        size = 1 << max_len
+        tbl_sym = [0] * size
+        tbl_len = [0] * size
         kraft = 0
         for s, ln in nz:
-            self.table[(ln, next_code[ln])] = s
+            c = next_code[ln]
             next_code[ln] += 1
             kraft += 1 << (max_len - ln)
-        if kraft != (1 << max_len):
+            # stream-order index: bit-reverse the code over its length
+            rev = 0
+            for i in range(ln):
+                rev |= ((c >> i) & 1) << (ln - 1 - i)
+            for hi in range(0, size, 1 << ln):
+                tbl_sym[hi | rev] = s
+                tbl_len[hi | rev] = ln
+        if kraft != size:
             raise ValueError("VP8L: prefix code not complete")
         self.max_len = max_len
+        self.tbl_sym = tbl_sym
+        self.tbl_len = tbl_len
 
     def decode(self, br: _Bits) -> int:
         if self.const is not None:
             return self.const
-        code = 0
-        for ln in range(1, self.max_len + 1):
-            code = (code << 1) | br.read(1)
-            sym = self.table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("VP8L: invalid prefix code word")
+        ix = br.peek(self.max_len)
+        br.skip(self.tbl_len[ix])
+        return self.tbl_sym[ix]
 
 
 def _read_prefix_code(br: _Bits, alphabet_size: int) -> _Prefix:
