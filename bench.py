@@ -93,6 +93,9 @@ def bench_queries(spark) -> dict[str, float]:
     timed("ann_bruteforce",
           lambda: similarity.brute_force_topk(
               embs, embs.filter("vec_id % 20 = 0"), topk=10).count())
+    timed("ann_bruteforce_arrow",
+          lambda: similarity.brute_force_topk_arrow(
+              embs, embs.filter("vec_id % 20 = 0"), topk=10).count())
     timed("ann_lsh",
           lambda: similarity.lsh_topk(
               embs, embs.filter("vec_id % 20 = 0"), topk=10,

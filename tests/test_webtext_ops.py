@@ -332,3 +332,17 @@ def test_repetition_filters_rules(spark):
     assert out[2].dup_line_frac == 0.8 and not out[2].repetition_pass
     assert out[3].top2_char_frac == 0.0 and out[3].repetition_pass
     assert out[4].repetition_pass
+
+
+def test_brute_force_arrow_matches_relational(spark, embs):
+    """The vectorized matmul twin agrees with the exact-oracle relational
+    variant: identical (query, rank, cand) sets modulo float last-digit
+    knife edges (>= 99.9% agreement) and identical row counts."""
+    queries = embs.filter("vec_id % 50 = 0")
+    rel = similarity.brute_force_topk(embs, queries, topk=5)
+    arw = similarity.brute_force_topk_arrow(embs, queries, topk=5)
+    a = {(r.query_id, r.rank, r.cand_id) for r in rel.collect()}
+    b = {(r.query_id, r.rank, r.cand_id) for r in arw.collect()}
+    assert len(a) == len(b)
+    agree = len(a & b) / len(a)
+    assert agree >= 0.999, f"rank agreement {agree}"
