@@ -56,47 +56,26 @@ def shingle_rows(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) rows — the relational form of textsql.shingles.
 
-    Physical-plan rationale: higher-order-function lambdas with non-trivial
-    bodies (md5 etc.) evaluate on Spark's *interpreted* expression path
-    (~10 ms/doc measured — 350× slower than codegen). Exploding shingles to
-    rows keeps every expression a flat codegen'd scalar; the only cost is
-    one window shuffle on doc_id. Same strings as the DuckDB oracle,
-    including the <n-words fallback (whole text as one shingle).
-    """
-    w = Window.partitionBy(id_col).orderBy("pos")
-    words = docs.select(
-        id_col,
-        F.posexplode(F.expr(X.words(text_col, "spark"))).alias("pos", "w0"),
-    )
-    # Zero-word docs produce no exploded rows and would vanish from the
-    # sketch, while the oracle HOF form (textsql.shingles) falls back to a
-    # single '' shingle. Emit that row explicitly so both forms agree.
-    empty = docs.select(
+    Physical-plan rationale, round-4 shape: higher-order-function lambdas
+    with non-trivial bodies (md5 etc.) evaluate on Spark's *interpreted*
+    expression path (~10 ms/doc measured — 350× slower than codegen), so
+    the md5 runs on exploded scalar rows. The shingle strings themselves
+    ARE built with a cheap HOF (concat_ws over array slices) — but only
+    behind a repartition barrier that materializes the regex word-split
+    once per row; without it CollapseProject inlines the split into the
+    lambda and re-tokenizes the document per gram index (the same
+    O(words²) trap measured on the gopher top-n-gram stage, and the
+    round-3 window/lead() formulation this replaces cost ~2× more than
+    the barrier + slice form). Same strings as the DuckDB oracle,
+    including the <n-words fallback (whole text as one shingle, '' for
+    empty docs)."""
+    base = docs.select(
         F.col(id_col),
-        F.expr(f"size({X.words(text_col, 'spark')})").alias("_nw"),
-    ).filter("_nw = 0").select(id_col, F.lit("").alias("shingle"))
-    grams = (
-        words.withColumn("w1", F.lead("w0", 1).over(w))
-        .withColumn("w2", F.lead("w0", 2).over(w) if n == 3 else F.lit(None))
-        .withColumn("n_words", F.max(F.col("pos") + 1).over(
-            Window.partitionBy(id_col)))
-    )
-    if n == 3:
-        full = grams.filter(F.col("n_words") >= 3).filter(F.col("w2").isNotNull()) \
-            .select(id_col, F.concat_ws(" ", "w0", "w1", "w2").alias("shingle"))
-        short = (grams.filter(F.col("n_words") < 3)
-                 .groupBy(id_col)
-                 .agg(F.concat_ws(" ", F.array_sort(F.collect_list(
-                     F.struct("pos", "w0")))["w0"]).alias("_ws")))
-        short = short.select(id_col, F.col("_ws").alias("shingle"))
-        return full.unionByName(short).unionByName(empty)
-    if n == 2:
-        full = grams.filter(F.col("n_words") >= 2).filter(F.col("w1").isNotNull()) \
-            .select(id_col, F.concat_ws(" ", "w0", "w1").alias("shingle"))
-        short = grams.filter(F.col("n_words") < 2).select(
-            id_col, F.col("w0").alias("shingle"))
-        return full.unionByName(short).unionByName(empty)
-    raise ValueError("shingle_rows supports n in (2, 3)")
+        F.expr(X.words(text_col, "spark")).alias("_w"),
+    ).repartition(F.col(id_col))  # barrier: split once, slice many
+    return base.select(
+        id_col, F.explode(F.expr(X.shingles("_w", n, "spark")))
+        .alias("shingle"))
 
 
 def minhash_signatures(docs: DataFrame, k: int = DEFAULT_K, n: int = 3,
