@@ -226,8 +226,15 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Video-style frame sampling: emits n_frames payload slices per blob as
-    ARRAY<BINARY> (the D2/D3 page-explode shape — posexplode downstream)."""
+    """Video frame sampling → ARRAY<BINARY> per blob (the D2/D3
+    page-explode shape — posexplode downstream). Real MP4 containers get
+    n_frames evenly-spaced *samples* via the stbl sample table (for
+    MJPEG tracks each element is a complete JPEG file, decodable by the
+    built-in codec); other payloads fall back to positional byte slices
+    (the FAKE1 fixture behavior). Structure walk only — no pixel
+    decode."""
+    from ..functions import av
+
     schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
         T.StructField("frames", T.ArrayType(T.BinaryType()), False),
@@ -237,11 +244,27 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
         for b in batches:
             ids, frames = [], []
             for mid, blob in zip(b["media_id"], b["blob"]):
-                body = bytes(blob)[_HDR_SIZE:]
-                step = max(len(body) // n_frames, 1)
+                blob = bytes(blob)
+                out = None
+                if len(blob) >= 12 and blob[4:8] == b"ftyp":
+                    try:
+                        samples = av.mp4_extract_samples(blob)
+                        if samples:
+                            if len(samples) <= n_frames:
+                                out = samples
+                            else:
+                                step = len(samples) / n_frames
+                                out = [samples[int(i * step)]
+                                       for i in range(n_frames)]
+                    except ValueError:
+                        out = None
+                if out is None:
+                    body = blob[_HDR_SIZE:]
+                    step = max(len(body) // n_frames, 1)
+                    out = [body[i * step:(i + 1) * step]
+                           for i in range(n_frames)]
                 ids.append(int(mid))
-                frames.append([body[i * step:(i + 1) * step]
-                               for i in range(n_frames)])
+                frames.append(out)
             yield pd.DataFrame({"media_id": ids, "frames": frames})
 
     return media.select("media_id", "blob").mapInPandas(run, schema=schema)

@@ -173,3 +173,27 @@ def test_mjpeg_mp4_through_multiframe_thumbnails(spark):
     rows = multiframe_thumbnails(media, size=(16, 16)).collect()
     assert [r.frame_ix for r in rows] == [0, 1, 2]
     assert all(r.error is None and r.width == 16 for r in rows)
+
+
+def test_frame_sample_real_mp4(spark):
+    """frame_sample over a real MJPEG MP4: evenly-spaced verbatim JPEG
+    samples, each decodable; non-MP4 payloads keep the slice fallback."""
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_spark.functions import jpeg
+    from amazon_textract_transformer_pipeline_spark.operators.multimodal import (
+        frame_sample,
+        make_fake_blob,
+    )
+
+    frames, blob = _mjpeg_fixture(6)
+    media = spark.createDataFrame(
+        [(0, bytearray(blob)), (1, bytearray(make_fake_blob(32, 32, 4, 9)))],
+        "media_id long, blob binary")
+    got = {r.media_id: r.frames for r in
+           frame_sample(media, n_frames=3).collect()}
+    assert len(got[0]) == 3
+    assert [bytes(f) for f in got[0]] == [frames[0], frames[2], frames[4]]
+    arr, _ = jpeg.decode_jpeg(bytes(got[0][1]))
+    assert arr.shape[2] == 3
+    assert len(got[1]) == 3  # fake container: positional slices
