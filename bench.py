@@ -279,18 +279,18 @@ e2e runs, report the best. This invocation:
   (all runs this invocation: {headline.get('runs_sec')} s)
 - per-query timings (s): {json.dumps(headline['queries'])}
 
-**Committed headline: 2200-3200 docs/sec** — seven full cold-start
+**Committed headline: 1900-3200 docs/sec** — eight full cold-start
 protocol invocations on round-4 code reproduced best walls
-6.432 / 6.513 / 6.950 / 6.984 / 7.230 / 7.349 / 7.495 s for 20000 docs
-at sf0.1 (= 2669-3109 docs/sec); the committed low end is extended below the
-invocation range to the worst *single* run observed (9.5 s ≈ 2100
-docs/sec) because a fully-contended driver invocation can land all
-three of its runs on the slow tail. Per the round-2 verdict the
-committed number is what the driver's own protocol reproduces, not a
-warm best-case.
+6.432 / 6.513 / 6.950 / 6.984 / 7.230 / 7.349 / 7.431 / 7.495 s
+(= 2669-3109 docs/sec) plus one fully co-tenant-contended invocation at
+10.101 s (= 1980 docs/sec, all three of its runs 10.1-16.6 s — measured
+late in the session when the shared box was loaded). The committed low
+end sits just under that contended observation: the band is what the
+driver's own protocol reproduces under whatever contention it runs in,
+not a warm best-case (round-2 verdict rule).
 (Round-over-round: the r3 band was 1780-2830 with driver-measured
-2568.9; r4's higher band reflects this round's front-end work plus
-normal variance.)
+2568.9; r4's band shifts up on the uncontended end from this round's
+front-end work.)
 
 Reference baseline: the reference architecture is bounded at O(1-10)
 docs/sec per deployment (90-job Textract concurrency cap — BASELINE.md);
