@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
         "multimodal_metadata": Q.q_multimodal_metadata,
+        "real_media_metadata": Q.q_real_media_metadata,
         # PDF front door: native xref/page-tree/content-stream parse
         "pdf_metadata": Q.q_pdf_metadata,
         "pdf_extract": Q.q_pdf_extract,
@@ -439,6 +440,18 @@ SELECT i AS media_id,
          AS n_bytes,
        true AS valid
 FROM range(0, 200) t(i)"""
+
+    # real_media_metadata oracle: synth_real_media_df's dims/format are
+    # closed-form in media_id (h = 16+i%48, w = 16+(i*7)%48, kind cycle),
+    # so the six real-container header sniffs check against the spec.
+    sqls["real_media_metadata"] = """
+SELECT i AS media_id,
+       cast(16 + (i * 7) % 48 AS int) AS width,
+       cast(16 + i % 48 AS int) AS height,
+       (['png','jpeg','bmp','tiff','gif','webp'])[(i % 6)::INT + 1]
+           AS format,
+       true AS valid
+FROM range(0, 150) t(i)"""
 
     # pdf oracles: the synthetic PDF corpus (multimodal.synth_pdf_df) is a
     # closed-form function of media_id — dims 300+(i%5)*60 × 400+(i%4)*80,

@@ -502,6 +502,18 @@ def q_multimodal_metadata(spark, sf_dir) -> DataFrame:
         "media_id", "width", "height", "format", "n_bytes", "valid")
 
 
+def q_real_media_metadata(spark, sf_dir) -> DataFrame:
+    """D1 over REAL containers: the six-format synthetic corpus
+    (png/jpeg/bmp/tiff/gif/webp bytes from the built-in encoders) through
+    decode_metadata's header sniff — format and header-only dims checked
+    against the generator's closed-form spec. n_bytes is excluded
+    (encoded size is not closed-form). Map-only."""
+    from .operators.multimodal import synth_real_media_df
+
+    return decode_metadata(synth_real_media_df(spark, 150)).select(
+        "media_id", "width", "height", "format", "valid")
+
+
 def q_pdf_metadata(spark, sf_dir) -> DataFrame:
     """PDF structure metadata over the six-dialect synthetic corpus:
     page-1 MediaBox point dims + page count + encrypted flag via the
