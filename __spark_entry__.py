@@ -499,6 +499,8 @@ FROM lines GROUP BY i"""
     from amazon_textract_transformer_pipeline_spark.operators.textstats import (
         GOPHER_MAX_DUP_LINE_CHAR_FRAC,
         GOPHER_MAX_DUP_LINE_FRAC,
+        GOPHER_MAX_DUP_PARA_CHAR_FRAC,
+        GOPHER_MAX_DUP_PARA_FRAC,
         GOPHER_MAX_TOP2_CHAR_FRAC,
         GOPHER_MAX_TOP3_CHAR_FRAC,
     )
@@ -539,6 +541,10 @@ SELECT d.doc_id, {rsel},
            <= {GOPHER_MAX_DUP_LINE_FRAC}
        AND ({repetition_exprs("text", "duck")["dup_line_char_frac"]})
            <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}
+       AND ({repetition_exprs("text", "duck")["dup_para_frac"]})
+           <= {GOPHER_MAX_DUP_PARA_FRAC}
+       AND ({repetition_exprs("text", "duck")["dup_para_char_frac"]})
+           <= {GOPHER_MAX_DUP_PARA_CHAR_FRAC}
        AND coalesce(f2.top2_char_frac, 0.0) <= {GOPHER_MAX_TOP2_CHAR_FRAC}
        AND coalesce(f3.top3_char_frac, 0.0) <= {GOPHER_MAX_TOP3_CHAR_FRAC}
            AS repetition_pass

@@ -228,41 +228,58 @@ def with_gopher_filters(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 GOPHER_MAX_DUP_LINE_FRAC = 0.30
 GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_DUP_PARA_FRAC = 0.30
+GOPHER_MAX_DUP_PARA_CHAR_FRAC = 0.20
 GOPHER_MAX_TOP2_CHAR_FRAC = 0.20
 GOPHER_MAX_TOP3_CHAR_FRAC = 0.18
 
 
-def repetition_exprs(text: str, engine: str) -> dict[str, str]:
-    """Duplicate-line signals. Definitions (pinned for the oracle):
-    a *duplicate* is any occurrence of a line after its first;
-    ``dup_line_frac`` = duplicates / lines, ``dup_line_char_frac`` =
-    characters in duplicate occurrences / characters in all lines.
-    Empty/whitespace-only lines are dropped first."""
+def _dup_unit_exprs(text: str, engine: str, sep_desc: str,
+                    prefix: str) -> dict[str, str]:
+    """Duplicate-fraction signals over one text unit (lines or
+    paragraphs). A *duplicate* is any occurrence after the first;
+    ``<p>_frac`` = duplicates / units, ``<p>_char_frac`` = characters in
+    duplicate occurrences / characters in all units. Empty/whitespace-
+    only units are dropped first."""
     if engine == "spark":
-        lines = f"filter(transform(split({text}, '\\n'), l -> trim(l)), " \
-                f"l -> l <> '')"
-        dist = f"array_distinct({lines})"
+        units = (f"filter(transform(split({text}, '{sep_desc}'), "
+                 f"l -> trim(l)), l -> l <> '')")
+        dist = f"array_distinct({units})"
         chars = ("aggregate(transform({a}, l -> cast(length(l) as bigint)), "
                  "cast(0 as bigint), (a, x) -> a + x)")
-        n, nd = f"size({lines})", f"size({dist})"
+        n, nd = f"size({units})", f"size({dist})"
     else:
-        lines = (f"list_filter(list_transform(string_split({text}, chr(10)),"
+        dsep = "chr(10)" if sep_desc == "\\n" else "chr(10) || chr(10)"
+        units = (f"list_filter(list_transform("
+                 f"string_split({text}, {dsep}),"
                  f" l -> trim(l)), l -> l != '')")
-        dist = f"list_distinct({lines})"
+        dist = f"list_distinct({units})"
         chars = ("CAST(coalesce(list_sum(list_transform({a}, "
                  "l -> len(l)::BIGINT)), 0) AS BIGINT)")
-        n, nd = f"len({lines})", f"len({dist})"
-    all_chars = chars.format(a=lines)
+        n, nd = f"len({units})", f"len({dist})"
+    all_chars = chars.format(a=units)
     dist_chars = chars.format(a=dist)
     return {
-        "dup_line_frac": (
+        f"{prefix}_frac": (
             f"round(CASE WHEN {n} = 0 THEN 0.0 ELSE "
             f"({n} - {nd}) / cast({n} as double) END, 6)"),
-        "dup_line_char_frac": (
+        f"{prefix}_char_frac": (
             f"round(CASE WHEN ({all_chars}) = 0 THEN 0.0 ELSE "
             f"(({all_chars}) - ({dist_chars})) / "
             f"cast({all_chars} as double) END, 6)"),
     }
+
+
+def repetition_exprs(text: str, engine: str) -> dict[str, str]:
+    """Duplicate-line AND duplicate-paragraph signals (paragraphs split
+    on blank lines). The 5-10-gram *duplicated*-char-fraction rules are
+    intentionally out of scope (their non-overlap accounting has no
+    single canonical definition to pin an oracle to); the top-2/3-gram
+    fractions in :func:`with_repetition_filters` cover the n-gram
+    half."""
+    out = _dup_unit_exprs(text, engine, "\\n", "dup_line")
+    out.update(_dup_unit_exprs(text, engine, "\\n\\n", "dup_para"))
+    return out
 
 
 def _top_ngram_frac(docs: DataFrame, n: int, text_col: str,
@@ -325,5 +342,7 @@ def with_repetition_filters(docs: DataFrame, text_col: str = "text",
         "repetition_pass",
         (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
         & (F.col("dup_line_char_frac") <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+        & (F.col("dup_para_frac") <= GOPHER_MAX_DUP_PARA_FRAC)
+        & (F.col("dup_para_char_frac") <= GOPHER_MAX_DUP_PARA_CHAR_FRAC)
         & (F.col("top2_char_frac") <= GOPHER_MAX_TOP2_CHAR_FRAC)
         & (F.col("top3_char_frac") <= GOPHER_MAX_TOP3_CHAR_FRAC))

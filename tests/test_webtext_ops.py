@@ -346,3 +346,19 @@ def test_brute_force_arrow_matches_relational(spark, embs):
     assert len(a) == len(b)
     agree = len(a & b) / len(a)
     assert agree >= 0.999, f"rank agreement {agree}"
+
+
+def test_dup_paragraph_signals(spark):
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        with_repetition_filters,
+    )
+
+    p1, p2 = "para one here", "para two other"
+    docs = spark.createDataFrame(
+        [(0, f"{p1}\n\n{p2}\n\n{p1}"),     # 1 dup para of 3
+         (1, f"{p1}\n{p2}")],              # single-newline: one paragraph
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in with_repetition_filters(docs).collect()}
+    assert out[0].dup_para_frac == 0.333333
+    assert out[0].dup_line_frac == 0.333333  # lines split on single \n too
+    assert out[1].dup_para_frac == 0.0 and out[1].dup_line_frac == 0.0
