@@ -517,8 +517,10 @@ g{n} AS MATERIALIZED (
   SELECT doc_id, {total} AS total, unnest({sh}) AS gram FROM documents
 ),
 c{n} AS (
+  -- winner = most frequent gram (ties: lexicographically greatest via
+  -- struct max — byte-identical ordering to Spark's max-of-struct)
   SELECT doc_id, any_value(total) AS total,
-         max(cnt * len(replace(gram, ' ', ''))) AS top_chars
+         max(struct_pack(c := cnt, g := gram)) AS m
   FROM (SELECT doc_id, total, gram, count(*) AS cnt FROM g{n}
         WHERE len(string_split(gram, ' ')) >= {n}
         GROUP BY doc_id, total, gram)
@@ -526,7 +528,8 @@ c{n} AS (
 ),
 f{n} AS (
   SELECT doc_id, round(CASE WHEN total > 0
-         THEN top_chars / total::DOUBLE ELSE 0.0 END, 6)
+         THEN (m.c * len(replace(m.g, ' ', ''))) / total::DOUBLE
+         ELSE 0.0 END, 6)
          AS top{n}_char_frac
   FROM c{n}
 )"""

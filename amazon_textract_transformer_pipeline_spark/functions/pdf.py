@@ -490,7 +490,11 @@ class PdfDocument:
             m = _OBJ_RE.match(self.blob, _skip_ws(self.blob, ent[1]))
             if not m or int(m.group(1)) != num:
                 if not self._scanned:
+                    # stale classic-xref offset: rescan repaired self.xref;
+                    # the retry must not see this call's cycle guard or the
+                    # repaired entry would resolve to a cached None forever
                     self._scan_fallback()
+                    del self._cache[num]
                     return self._load(num)
                 return None
             d, raw = self._parse_stream_at(m.end())

@@ -61,7 +61,19 @@ def brute_force_topk_arrow(corpus: DataFrame, queries: DataFrame,
     agreement)."""
     import pandas as pd
 
+    import pyspark.sql.types as T
+
+    _schema_out = T.StructType([
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("cand_id", T.LongType(), False),
+        T.StructField("cos", T.DoubleType(), False),
+    ])
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        # a (0, dim) query matrix would shape-error inside the executor;
+        # mirror the relational twin's empty result instead
+        return corpus.sparkSession.createDataFrame([], _schema_out)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)

@@ -169,7 +169,10 @@ def gopher_exprs(text: str, engine: str) -> dict[str, str]:
     nl = f"{size}({lines})"
     mean_len = quality_exprs(text, engine)["mean_word_len"]
     hash_count = _char_count(text, "#", engine)
-    ell_count = _char_count(text, "…", engine)
+    # both ellipsis spellings count — web text overwhelmingly writes the
+    # ASCII '...' form, so counting only U+2026 left the 0.1 rule inert
+    ell_count = (f"({_char_count(text, '…', engine)} + "
+                 f"{_char_count(text, '...', engine)})")
     symbol_ratio = (f"round(CASE WHEN {n} = 0 THEN 0.0 ELSE "
                     f"({hash_count} + {ell_count}) / cast({n} as {dbl}) "
                     f"END, 6)")
@@ -286,8 +289,11 @@ def _top_ngram_frac(docs: DataFrame, n: int, text_col: str,
                     id_col: str) -> DataFrame:
     """(_id, top{n}_char_frac): characters covered by the most frequent
     word n-gram / total word characters; docs with < n words score 0.
-    Only the per-doc max of count × gram-chars is needed, never the
-    winning gram itself, so there is no cross-engine tie-break.
+    The winner is the gram with the highest count (the Gopher paper's
+    definition — NOT the max of count × chars, which would let a rarer
+    but longer gram overstate the fraction); count ties break toward the
+    lexicographically greatest gram via max-of-struct ordering, which is
+    byte-identical on Spark (UTF8_BINARY) and DuckDB (memcmp VARCHAR).
 
     Plan note (measured 10.0 → 2.5 s at sf0.1): the word split is
     materialized ONCE per row behind a repartition barrier — without it
@@ -308,10 +314,11 @@ def _top_ngram_frac(docs: DataFrame, n: int, text_col: str,
         base.where(F.expr(f"size(_w) >= {n}"))
         .select("_id", F.explode(F.expr(gram)).alias("gram"))
         .groupBy("_id", "gram").agg(F.count("*").alias("cnt"))
+        .groupBy("_id").agg(
+            F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("m"))
         .select("_id",
-                (F.col("cnt") *
-                 F.expr(f"length(gram) - {n - 1}")).alias("gchars"))
-        .groupBy("_id").agg(F.max("gchars").alias("top_chars"))
+                (F.col("m.cnt") *
+                 F.expr(f"length(m.gram) - {n - 1}")).alias("top_chars"))
     )
     totals = base.select(
         "_id",

@@ -63,6 +63,24 @@ def test_broken_xref_scan_fallback():
     assert pdf.pdf_extract_text(bad) == WANT_TEXT
 
 
+def test_stale_xref_offset_repairs_and_keeps_tree_order():
+    """A stale classic-xref offset (incremental-update debris) must trigger
+    the scan fallback AND the retried load must see the repaired entry —
+    not this call's own cycle-guard None (the round-4 advice bug): page
+    order and inherited attributes come from the page *tree*, which dies
+    if the /Pages node resolves to None."""
+    blob = pdf.write_pdf(PAGES)
+    doc = pdf.PdfDocument(blob)
+    off = doc.xref[2][1]  # /Pages root
+    bad = blob.replace(f"{off:010d}".encode(), f"{off + 2:010d}".encode(), 1)
+    d2 = pdf.PdfDocument(bad)
+    pages_obj = d2.resolve(pdf.Ref(2, 0))
+    assert isinstance(pages_obj, dict) and pages_obj.get("Type") == "Pages"
+    assert pdf.pdf_extract_text(bad) == WANT_TEXT
+    m = pdf.pdf_meta(bad)
+    assert m["pages"][1]["rotate"] == 90  # inherited/tree attrs intact
+
+
 def test_lying_stream_length_recovers():
     blob = pdf.write_pdf(PAGES[:1])
     # overstate a /Length so the endstream probe has to correct it

@@ -311,6 +311,31 @@ def test_gopher_filters_rules(spark):
     assert not out[6].gopher_pass and out[6].gopher_stop_hits == 0
 
 
+def test_symbol_ratio_counts_ascii_ellipsis(spark):
+    """The Gopher symbol rule counts '...' (the dominant web spelling) as
+    well as U+2026 — a doc padded with ASCII ellipses must fail."""
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        with_gopher_filters,
+    )
+
+    base = ("the cat and the hat have fun with all of that . "
+            + "plain words continue here nicely " * 10)
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + " ... " * 40), (2, base + " … " * 40)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in with_gopher_filters(docs).collect()}
+    assert out[0].gopher_pass and out[0].symbol_word_ratio < 0.1
+    assert not out[1].gopher_pass and out[1].symbol_word_ratio > 0.1
+    assert not out[2].gopher_pass and out[2].symbol_word_ratio > 0.1
+
+
+def test_brute_force_arrow_empty_queries(spark, embs):
+    out = similarity.brute_force_topk_arrow(
+        embs, embs.filter("vec_id < 0"), topk=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "rank", "cand_id", "cos"]
+
+
 def test_repetition_filters_rules(spark):
     from amazon_textract_transformer_pipeline_spark.operators.textstats import (
         with_repetition_filters,
