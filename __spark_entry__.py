@@ -534,12 +534,67 @@ f{n} AS (
   FROM c{n}
 )"""
 
+    # duplicate-5..10-gram character fractions: covered-position
+    # accounting (see textstats._dup_ngram_fracs) as staged CTEs
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        GOPHER_MAX_DUP_NGRAM_CHAR_FRAC,
+    )
+
+    def _dupgram_ctes(n):
+        return f"""
+o{n} AS MATERIALIZED (
+  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws) - {n} + 2),
+           i -> {{'pos': i,
+                  'gram': array_to_string(list_slice(ws, i, i + {n} - 1),
+                                          ' ')}})) AS u
+    FROM docw WHERE len(ws) >= {n})
+),
+dn{n} AS (
+  SELECT doc_id, list(pos) AS ps FROM o{n}
+  GROUP BY doc_id, gram HAVING count(*) >= 2
+),
+cv{n} AS (
+  SELECT DISTINCT doc_id, wpos FROM (
+    SELECT doc_id, unnest(range(p, p + {n})) AS wpos
+    FROM (SELECT doc_id, unnest(ps) AS p FROM dn{n}))
+),
+s{n} AS (
+  SELECT cv.doc_id, sum(w.wlen) AS c
+  FROM cv{n} cv JOIN wpos w
+    ON w.doc_id = cv.doc_id AND w.wpos = cv.wpos
+  GROUP BY cv.doc_id
+)"""
+
+    def _dupgram_frac(n):
+        return (f"round(coalesce(CASE WHEN ({total}) > 0 THEN "
+                f"s{n}.c / ({total})::DOUBLE ELSE 0.0 END, 0.0), 6)")
+
+    dup_ns = sorted(GOPHER_MAX_DUP_NGRAM_CHAR_FRAC)
+    dup_cols = ",\n       ".join(
+        f"{_dupgram_frac(n)} AS dup{n}gram_char_frac" for n in dup_ns)
+    dup_conds = "\n       ".join(
+        f"AND {_dupgram_frac(n)} <= {GOPHER_MAX_DUP_NGRAM_CHAR_FRAC[n]}"
+        for n in dup_ns)
+    dup_joins = "\n".join(
+        f"LEFT JOIN s{n} ON s{n}.doc_id = d.doc_id" for n in dup_ns)
+
     sqls["gopher_repetition"] = f"""
-WITH {_gram_cte(2).strip()},
-{_gram_cte(3).strip()}
+WITH docw AS MATERIALIZED (
+  SELECT doc_id, {dwords} AS ws FROM documents
+),
+wpos AS MATERIALIZED (
+  SELECT doc_id, u.wpos AS wpos, u.wlen AS wlen FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+           i -> {{'wpos': i, 'wlen': len(ws[i])}})) AS u FROM docw)
+),
+{_gram_cte(2).strip()},
+{_gram_cte(3).strip()},
+{",".join(_dupgram_ctes(n).strip() for n in dup_ns)}
 SELECT d.doc_id, {rsel},
        coalesce(f2.top2_char_frac, 0.0) AS top2_char_frac,
        coalesce(f3.top3_char_frac, 0.0) AS top3_char_frac,
+       {dup_cols},
        ({repetition_exprs("text", "duck")["dup_line_frac"]})
            <= {GOPHER_MAX_DUP_LINE_FRAC}
        AND ({repetition_exprs("text", "duck")["dup_line_char_frac"]})
@@ -550,10 +605,12 @@ SELECT d.doc_id, {rsel},
            <= {GOPHER_MAX_DUP_PARA_CHAR_FRAC}
        AND coalesce(f2.top2_char_frac, 0.0) <= {GOPHER_MAX_TOP2_CHAR_FRAC}
        AND coalesce(f3.top3_char_frac, 0.0) <= {GOPHER_MAX_TOP3_CHAR_FRAC}
+       {dup_conds}
            AS repetition_pass
 FROM documents d
 LEFT JOIN f2 ON f2.doc_id = d.doc_id
-LEFT JOIN f3 ON f3.doc_id = d.doc_id"""
+LEFT JOIN f3 ON f3.doc_id = d.doc_id
+{dup_joins}"""
 
     # charset_extract oracle: the decode ladder is what's under test — all
     # five encoding variants of doc i must yield the identical Unicode

@@ -236,6 +236,10 @@ GOPHER_MAX_DUP_PARA_CHAR_FRAC = 0.20
 GOPHER_MAX_TOP2_CHAR_FRAC = 0.20
 GOPHER_MAX_TOP3_CHAR_FRAC = 0.18
 
+#: Rae et al. 2021 Table A1 "duplicate n-gram character fraction" caps
+GOPHER_MAX_DUP_NGRAM_CHAR_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                                  9: 0.11, 10: 0.10}
+
 
 def _dup_unit_exprs(text: str, engine: str, sep_desc: str,
                     prefix: str) -> dict[str, str]:
@@ -331,11 +335,82 @@ def _top_ngram_frac(docs: DataFrame, n: int, text_col: str,
                 .otherwise(F.lit(0.0)), 6).alias(f"top{n}_char_frac"))
 
 
+def _dup_ngram_fracs(docs: DataFrame, text_col: str, id_col: str,
+                     ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10)) -> DataFrame:
+    """(_id, dup{n}gram_char_frac …): Gopher's duplicate-n-gram character
+    fractions, with the non-overlap accounting pinned to ONE canonical
+    definition: a word position is *covered* when any occurrence of any
+    in-doc-duplicated n-gram (count ≥ 2) spans it; the fraction is chars
+    of covered words / chars of all words. Overlapping duplicated spans
+    therefore never double-count (frac ≤ 1 by construction), unlike the
+    top-n-gram fractions above which are paper-faithfully unclipped.
+
+    Plan shape: ONE explode emits (doc, n, pos, gram) for all six n
+    behind the same split-once repartition barrier the top-gram stage
+    uses (the exchange is reused); one (doc, n, gram) hash agg with
+    map-side partials finds duplicated grams, positions re-explode to a
+    distinct covered set, chars join back at (doc, wordpos) grain, and a
+    fixed-width pivot folds the six n values into columns. Every key is
+    doc-scoped so skew is bounded by document length."""
+    ws = X.words(text_col, "spark")
+    base = (
+        docs.select(F.col(id_col).alias("_id"), F.expr(ws).alias("_w"))
+        .repartition(F.col("_id"))  # barrier: split once, slice many
+    )
+    parts = []
+    for n in ns:
+        parts.append(
+            f"CASE WHEN size(_w) >= {n} THEN "
+            f"transform(sequence(0, size(_w) - {n}), "
+            f"i -> struct({n} AS n, i AS pos, "
+            f"concat_ws(' ', slice(_w, i + 1, {n})) AS gram)) "
+            f"ELSE array() END")
+    occ = (
+        base.select("_id",
+                    F.explode(F.expr("concat(" + ", ".join(parts) + ")"))
+                    .alias("o"))
+        .select("_id", F.col("o.n").alias("n"),
+                F.col("o.pos").alias("pos"), F.col("o.gram").alias("gram"))
+    )
+    covered = (
+        occ.groupBy("_id", "n", "gram")
+        .agg(F.count("*").alias("cnt"), F.collect_list("pos").alias("ps"))
+        .filter(F.col("cnt") >= 2)
+        .select("_id", "n", F.explode("ps").alias("p"))
+        .select("_id", "n",
+                F.explode(F.expr("sequence(p, p + n - 1)")).alias("wpos"))
+        .distinct()
+    )
+    wl = base.select("_id", F.posexplode("_w").alias("wpos", "_word")) \
+        .select("_id", "wpos", F.length("_word").alias("wlen"))
+    cov = (
+        covered.join(wl, ["_id", "wpos"])
+        .groupBy("_id").pivot("n", list(ns)).sum("wlen")
+    )
+    totals = base.select(
+        "_id",
+        F.expr("aggregate(transform(_w, w -> cast(length(w) as bigint)), "
+               "cast(0 as bigint), (a, x) -> a + x)").alias("_total"))
+    out = totals.join(cov, "_id", "left")
+    for n in ns:
+        out = out.withColumn(
+            f"dup{n}gram_char_frac",
+            F.round(F.when((F.col("_total") > 0) &
+                           F.col(str(n)).isNotNull(),
+                           F.col(str(n)) / F.col("_total").cast("double"))
+                    .otherwise(F.lit(0.0)), 6))
+    return out.select("_id", *[f"dup{n}gram_char_frac" for n in ns])
+
+
 def with_repetition_filters(docs: DataFrame, text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
-    """Append duplicate-line signals (map-side), top-2/3-gram character
-    fractions (one shuffle each, reusing the same scan), and the combined
-    ``repetition_pass`` verdict at the Gopher thresholds."""
+                            id_col: str = "doc_id",
+                            include_dup_ngrams: bool = True) -> DataFrame:
+    """Append duplicate-line/paragraph signals (map-side), top-2/3-gram
+    character fractions (one shuffle each, reusing the same scan), the
+    duplicate-5..10-gram character fractions (one combined explode, see
+    :func:`_dup_ngram_fracs`), and the combined ``repetition_pass``
+    verdict at the Gopher thresholds — the full Table A1 repetition rule
+    set."""
     out = docs
     for name, e in repetition_exprs(text_col, "spark").items():
         out = out.withColumn(name, F.expr(e))
@@ -345,11 +420,18 @@ def with_repetition_filters(docs: DataFrame, text_col: str = "text",
             .drop("_id") \
             .withColumn(f"top{n}_char_frac",
                         F.coalesce(f"top{n}_char_frac", F.lit(0.0)))
-    return out.withColumn(
-        "repetition_pass",
+    verdict = (
         (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
         & (F.col("dup_line_char_frac") <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
         & (F.col("dup_para_frac") <= GOPHER_MAX_DUP_PARA_FRAC)
         & (F.col("dup_para_char_frac") <= GOPHER_MAX_DUP_PARA_CHAR_FRAC)
         & (F.col("top2_char_frac") <= GOPHER_MAX_TOP2_CHAR_FRAC)
         & (F.col("top3_char_frac") <= GOPHER_MAX_TOP3_CHAR_FRAC))
+    if include_dup_ngrams:
+        dng = _dup_ngram_fracs(docs, text_col, id_col)
+        out = out.join(dng, out[id_col] == dng["_id"], "left").drop("_id")
+        for n, cap in GOPHER_MAX_DUP_NGRAM_CHAR_FRAC.items():
+            col = f"dup{n}gram_char_frac"
+            out = out.withColumn(col, F.coalesce(col, F.lit(0.0)))
+            verdict = verdict & (F.col(col) <= cap)
+    return out.withColumn("repetition_pass", verdict)

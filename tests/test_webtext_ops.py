@@ -359,6 +359,32 @@ def test_repetition_filters_rules(spark):
     assert out[4].repetition_pass
 
 
+def test_dup_ngram_char_fracs(spark):
+    """Covered-position accounting: overlapping duplicated spans never
+    double-count, so fracs are ≤ 1; a clean doc scores 0 everywhere."""
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        with_repetition_filters,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f a b c d e g"),  # "a b c d e" ×2 → 10 of 12 chars
+         (1, "x y x y x y x y"),          # every position covered at n=5,6
+         (2, "alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliett kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu"),
+         (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in with_repetition_filters(docs).collect()}
+    assert out[0].dup5gram_char_frac == round(10 / 12, 6)
+    assert out[0].dup6gram_char_frac == 0.0
+    assert not out[0].repetition_pass
+    assert out[1].dup5gram_char_frac == 1.0
+    assert out[1].dup6gram_char_frac == 1.0
+    assert out[1].dup7gram_char_frac == 0.0
+    assert out[2].dup5gram_char_frac == 0.0 and out[2].repetition_pass
+    assert out[3].repetition_pass
+
+
 def test_brute_force_arrow_matches_relational(spark, embs):
     """The vectorized matmul twin agrees with the exact-oracle relational
     variant: identical (query, rank, cand) sets modulo float last-digit
