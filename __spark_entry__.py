@@ -478,7 +478,7 @@ lines AS (
 SELECT 'pdf://' || i AS url,
        cast(1 + i % 4 AS int) AS n_pages,
        string_agg('doc ' || i || ' page ' || p || ' line ' || j ||
-                  ' tok' || ((i*7 + p*3 + j) % 100),
+                  ' tok' || ((i*7 + p*3 + j) % 100) || ' café',
                   chr(10) ORDER BY p, j) AS extracted_text
 FROM lines GROUP BY i"""
 

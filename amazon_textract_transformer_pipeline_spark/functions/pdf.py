@@ -17,11 +17,14 @@ codec family (functions/codecs.py):
   spirit (no page *content* is decoded for metadata);
 * **text extraction** — content-stream interpreter (BT/ET, Td/TD/Tm/T*,
   TL/Tc/Tw/Tz, Tj/TJ/'/") emitting pages→lines→words with real baseline
-  geometry in PDF points. Glyph advance uses the Courier fixed metric
-  (600/1000 em) because embedded font width tables are out of scope —
-  exact for the fixture writer below, approximate-but-ordered for
-  arbitrary PDFs (reading order and line structure are exact; only box
-  widths are nominal);
+  geometry in PDF points. Show-strings decode through the active font:
+  /ToUnicode CMaps (bfchar/bfrange), simple-font /Encoding with
+  /Differences over WinAnsi/MacRoman/Standard base tables (Adobe Glyph
+  List subset), and Type0/CID Identity-H 2-byte codes — the
+  subsetted-font PDFs real crawls are made of decode to correct
+  *bytes*, not glyph-index mojibake. Glyph advance uses /FirstChar +
+  /Widths (or CID /DW + /W), falling back to the Courier 600/1000 em
+  metric for fonts with no width table;
 * **rasterization stays a seam** — pixel rendering needs a rasterizer
   (pdf2image/pypdfium2); :func:`render_plan` computes the pixel geometry
   the reference's 300-DPI convention implies, and
@@ -548,7 +551,7 @@ class PdfDocument:
             else None
         out: list[dict] = []
         if isinstance(top, dict):
-            inherit = {"MediaBox": None, "Rotate": 0}
+            inherit = {"MediaBox": None, "Rotate": 0, "Resources": None}
             stack = [(top, dict(inherit))]
             visited: set[int] = set()
             while stack and len(out) < _MAX_PAGES:
@@ -566,12 +569,16 @@ class PdfDocument:
                     r = self.resolve(node["Rotate"])
                     if isinstance(r, (int, float)):
                         inh["Rotate"] = int(r)
+                if "Resources" in node:  # inheritable (ISO 32000 7.7.3.4)
+                    inh["Resources"] = node["Resources"]
                 kids = self.resolve(node.get("Kids"))
                 if node.get("Type") == "Page" or (
                         kids is None and node.get("Type") != "Pages"):
                     page = dict(node)
                     page["_MediaBox"] = inh["MediaBox"] or list(_DEFAULT_BOX)
                     page["_Rotate"] = inh["Rotate"] % 360
+                    if "Resources" not in page and inh["Resources"] is not None:
+                        page["_Resources"] = inh["Resources"]
                     out.append(page)
                 elif isinstance(kids, list):
                     for kid in reversed(kids):
@@ -646,6 +653,382 @@ def render_plan(width_pt: float, height_pt: float,
 
 
 # --------------------------------------------------------------------------
+# fonts: encodings, ToUnicode CMaps, widths
+# --------------------------------------------------------------------------
+#
+# Real-world PDFs (Word/Chrome/LaTeX output) subset their fonts: show-string
+# bytes are glyph codes whose meaning lives in the font dictionary, not in
+# any fixed charset. Decode priority per ISO 32000 9.10.2:
+#   1. /ToUnicode CMap (bfchar/bfrange) — authoritative when present;
+#   2. simple-font /Encoding: a base encoding (WinAnsi/MacRoman/Standard)
+#      patched by /Differences glyph names (Adobe Glyph List);
+#   3. fallback: latin-1 byte identity (correct for unencoded ASCII text,
+#      and the engine's pre-font-support behavior).
+# Type0/CID fonts (/Subtype /Type0, /Encoding /Identity-H) read 2-byte
+# big-endian codes; widths come from the descendant font's /W (default
+# /DW 1000). Simple-font advances use /FirstChar + /Widths with
+# /MissingWidth fallback; fonts with no width table keep the Courier
+# 600-em metric (exact for the fixture writer, nominal otherwise).
+
+#: Adobe Glyph List subset: every name used by the Standard/WinAnsi/
+#: MacRoman base encodings plus the typographic set /Differences arrays
+#: commonly reference. Latin-1 letters are generated from their Unicode
+#: names (the AGL naming rule for that block) with the irregulars pinned
+#: by hand; spot values are unit-tested.
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # Latin-1 punctuation / signs
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦",
+    "section": "§", "dieresis": "¨", "copyright": "©",
+    "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯",
+    "degree": "°", "plusminus": "±", "twosuperior": "²",
+    "threesuperior": "³", "acute": "´", "mu": "µ",
+    "paragraph": "¶", "periodcentered": "·",
+    "cedilla": "¸", "onesuperior": "¹",
+    "ordmasculine": "º", "guillemotright": "»",
+    "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿",
+    "multiply": "×", "divide": "÷",
+    # irregular Latin-1 letter names
+    "AE": "Æ", "ae": "æ", "Eth": "Ð", "eth": "ð",
+    "Thorn": "Þ", "thorn": "þ", "germandbls": "ß",
+    "Oslash": "Ø", "oslash": "ø",
+    # typographic set
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "fraction": "⁄",
+    "florin": "ƒ", "fi": "ﬁ", "fl": "ﬂ",
+    "dotlessi": "ı", "Lslash": "Ł", "lslash": "ł",
+    "OE": "Œ", "oe": "œ", "Scaron": "Š",
+    "scaron": "š", "Ydieresis": "Ÿ", "Zcaron": "Ž",
+    "zcaron": "ž", "circumflex": "ˆ", "tilde": "˜",
+    "caron": "ˇ", "breve": "˘", "dotaccent": "˙",
+    "ring": "˚", "ogonek": "˛", "hungarumlaut": "˝",
+    "Euro": "€", "trademark": "™", "minus": "−",
+}
+
+
+def _fill_agl_latin1() -> None:
+    """Regular Latin-1 letter names: base letter + accent suffix
+    (LATIN SMALL LETTER E WITH ACUTE → 'eacute')."""
+    suffix = {"ACUTE": "acute", "GRAVE": "grave",
+              "CIRCUMFLEX": "circumflex", "DIAERESIS": "dieresis",
+              "TILDE": "tilde", "RING ABOVE": "ring", "CEDILLA": "cedilla"}
+    import unicodedata
+
+    for cp in range(0xC0, 0x100):
+        ch = chr(cp)
+        if ch in _AGL.values():
+            continue
+        try:
+            uname = unicodedata.name(ch)
+        except ValueError:
+            continue
+        m = re.match(r"LATIN (SMALL|CAPITAL) LETTER ([A-Z]) WITH (.+)", uname)
+        if m and m.group(3) in suffix:
+            letter = m.group(2)
+            if m.group(1) == "SMALL":
+                letter = letter.lower()
+            _AGL.setdefault(letter + suffix[m.group(3)], ch)
+
+
+_fill_agl_latin1()
+# plain letters and digits name themselves
+for _c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _AGL.setdefault(_c, _c)
+
+
+def _glyph_to_char(name: str) -> str | None:
+    if name in _AGL:
+        return _AGL[name]
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})(?:[0-9A-Fa-f]{4})*", name)
+    if m:  # uniXXXX (first component of a multi-cp name is enough here)
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else None
+    return None
+
+
+def _table_from_codec(codec: str) -> dict[int, str]:
+    out = {}
+    for c in range(0x20, 0x100):
+        try:
+            out[c] = bytes([c]).decode(codec)
+        except UnicodeDecodeError:
+            continue
+    return out
+
+
+#: WinAnsiEncoding ≈ cp1252 (the five cp1252 holes stay unmapped);
+#: MacRomanEncoding ≈ mac-roman (PDF's table predates Apple's 0xDB → €
+#: swap — irrelevant to the Differences/ToUnicode paths this feeds).
+_WINANSI = _table_from_codec("cp1252")
+_MACROMAN = _table_from_codec("mac_roman")
+
+#: StandardEncoding: ASCII with the two quote substitutions plus the
+#: Adobe upper region (ISO 32000 Annex D.2).
+_STANDARD: dict[int, str] = {c: chr(c) for c in range(0x20, 0x7F)}
+_STANDARD.update({
+    0x27: "’", 0x60: "‘",
+    0xA1: "¡", 0xA2: "¢", 0xA3: "£", 0xA4: "⁄",
+    0xA5: "¥", 0xA6: "ƒ", 0xA7: "§", 0xA8: "¤",
+    0xA9: "'", 0xAA: "“", 0xAB: "«", 0xAC: "‹",
+    0xAD: "›", 0xAE: "ﬁ", 0xAF: "ﬂ",
+    0xB1: "–", 0xB2: "†", 0xB3: "‡", 0xB4: "·",
+    0xB6: "¶", 0xB7: "•", 0xB8: "‚", 0xB9: "„",
+    0xBA: "”", 0xBB: "»", 0xBC: "…", 0xBD: "‰",
+    0xBF: "¿", 0xC1: "`", 0xC2: "´", 0xC3: "ˆ",
+    0xC4: "˜", 0xC5: "¯", 0xC6: "˘", 0xC7: "˙",
+    0xC8: "¨", 0xCA: "˚", 0xCB: "¸", 0xCD: "˝",
+    0xCE: "˛", 0xCF: "ˇ", 0xD0: "—",
+    0xE1: "Æ", 0xE3: "ª", 0xE8: "Ł", 0xE9: "Ø",
+    0xEA: "Œ", 0xEB: "º", 0xF1: "æ", 0xF5: "ı",
+    0xF8: "ł", 0xF9: "ø", 0xFA: "œ", 0xFB: "ß",
+})
+
+_BASE_ENCODINGS = {"WinAnsiEncoding": _WINANSI,
+                   "MacRomanEncoding": _MACROMAN,
+                   "StandardEncoding": _STANDARD,
+                   # MacExpert is exotic; approximate with Standard
+                   "MacExpertEncoding": _STANDARD}
+
+_HEX_OR_BRACKET = re.compile(rb"<([0-9A-Fa-f]*)>|\[|\]")
+
+
+def _parse_cmap_tounicode(data: bytes) -> tuple[dict[int, str], int]:
+    """(code→text, code_bytes) from a /ToUnicode CMap stream. Handles
+    bfchar, bfrange with scalar or array destinations, and derives the
+    code byte width from the codespace ranges (default 1)."""
+    mapping: dict[int, str] = {}
+    code_bytes = 0
+    for m in re.finditer(
+            rb"begincodespacerange(.*?)endcodespacerange", data, re.S):
+        for hx in re.finditer(rb"<([0-9A-Fa-f]+)>", m.group(1)):
+            code_bytes = max(code_bytes, len(hx.group(1)) // 2)
+
+    def utf16(hx: bytes) -> str:
+        b = bytes.fromhex(hx.decode())
+        try:
+            return b.decode("utf-16-be")
+        except UnicodeDecodeError:
+            return "".join(chr(int(hx[i:i + 4], 16))
+                           for i in range(0, len(hx) - 3, 4))
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            mapping[int(toks[i], 16)] = utf16(toks[i + 1])
+            code_bytes = max(code_bytes, len(toks[i]) // 2)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        toks = list(_HEX_OR_BRACKET.finditer(m.group(1)))
+        i = 0
+        while i + 2 < len(toks):  # an entry needs <lo> <hi> dst
+            lo_m, hi_m, dst = toks[i], toks[i + 1], toks[i + 2]
+            if lo_m.group(1) is None or hi_m.group(1) is None:
+                i += 1
+                continue
+            lo, hi = int(lo_m.group(1), 16), int(hi_m.group(1), 16)
+            code_bytes = max(code_bytes, len(lo_m.group(1)) // 2)
+            if dst.group(0) == b"[":  # array destination, one per code
+                j = i + 3
+                code = lo
+                while j < len(toks) and toks[j].group(0) != b"]":
+                    if toks[j].group(1) is not None and code <= hi:
+                        mapping[code] = utf16(toks[j].group(1))
+                        code += 1
+                    j += 1
+                i = j + 1
+            elif dst.group(1) is not None:
+                # scalar destination: increment the last UTF-16 unit
+                base = bytes.fromhex(dst.group(1).decode())
+                for k in range(min(hi - lo, 65535) + 1):
+                    if len(base) >= 2:
+                        unit = (int.from_bytes(base[-2:], "big") + k) & 0xFFFF
+                        s = utf16((base[:-2] + unit.to_bytes(2, "big")).hex()
+                                  .encode())
+                    else:
+                        s = chr((int.from_bytes(base, "big") + k) & 0x10FFFF)
+                    mapping[lo + k] = s
+                i += 3
+            else:
+                i += 1
+    return mapping, max(code_bytes, 1)
+
+
+class FontInfo(NamedTuple):
+    code_bytes: int                    # 1 (simple) or 2 (Type0/CID)
+    to_unicode: dict[int, str] | None  # priority-1 decode map
+    enc_map: dict[int, str] | None     # priority-2 simple-font encoding
+    widths: dict[int, float]           # code → advance, glyph units /1000
+    default_width: float               # glyph units /1000
+
+    def decode(self, code: int) -> str:
+        if self.to_unicode is not None and code in self.to_unicode:
+            return self.to_unicode[code]
+        if self.enc_map is not None and code in self.enc_map:
+            return self.enc_map[code]
+        if self.code_bytes == 1:
+            return chr(code)  # latin-1 identity — pre-font behavior
+        return chr(code) if code <= 0x10FFFF else "�"
+
+    def width(self, code: int) -> float:
+        return self.widths.get(code, self.default_width)
+
+    def iter_codes(self, raw: bytes):
+        if self.code_bytes == 1:
+            yield from raw
+        else:
+            for i in range(0, len(raw) - 1, 2):
+                yield (raw[i] << 8) | raw[i + 1]
+
+
+#: unencoded fallback: latin-1 identity at the Courier metric
+_DEFAULT_FONT = FontInfo(1, None, None, {}, _COURIER_EM * 1000.0)
+
+
+def _parse_cid_widths(doc: PdfDocument, warr) -> dict[int, float]:
+    """CIDFont /W array: ``[c [w1 w2 …] cFirst cLast w …]`` → code→width."""
+    out: dict[int, float] = {}
+    warr = doc.resolve(warr)
+    if not isinstance(warr, list):
+        return out
+    i = 0
+    while i < len(warr):
+        first = doc.resolve(warr[i])
+        if not isinstance(first, (int, float)) or i + 1 >= len(warr):
+            break
+        second = doc.resolve(warr[i + 1])
+        if isinstance(second, list):
+            for k, w in enumerate(second):
+                w = doc.resolve(w)
+                if isinstance(w, (int, float)):
+                    out[int(first) + k] = float(w)
+            i += 2
+        elif isinstance(second, (int, float)) and i + 2 < len(warr):
+            w = doc.resolve(warr[i + 2])
+            if isinstance(w, (int, float)):
+                span = int(second) - int(first)
+                if 0 <= span <= 65535:
+                    for c in range(int(first), int(second) + 1):
+                        out[c] = float(w)
+            i += 3
+        else:
+            break
+    return out
+
+
+def _build_font(doc: PdfDocument, fdict) -> FontInfo:
+    """FontInfo from a /Font dictionary (simple or Type0). Never raises —
+    malformed font objects degrade to the default latin-1/Courier font."""
+    fdict = doc.resolve(fdict)
+    if isinstance(fdict, tuple):  # stream where a dict belongs
+        fdict = fdict[0]
+    if not isinstance(fdict, dict):
+        return _DEFAULT_FONT
+    try:
+        to_uni = None
+        code_bytes = 1
+        tu = doc.resolve(fdict.get("ToUnicode"))
+        if isinstance(tu, tuple):
+            try:
+                to_uni, code_bytes = _parse_cmap_tounicode(
+                    _decode_stream(tu[0], tu[1], doc.resolve))
+            except (ValueError, zlib.error):
+                to_uni = None
+
+        if fdict.get("Subtype") == "Type0":
+            desc = doc.resolve(fdict.get("DescendantFonts"))
+            d0 = doc.resolve(desc[0]) if isinstance(desc, list) and desc \
+                else None
+            widths: dict[int, float] = {}
+            default_w = 1000.0
+            if isinstance(d0, dict):
+                dw = doc.resolve(d0.get("DW"))
+                if isinstance(dw, (int, float)):
+                    default_w = float(dw)
+                widths = _parse_cid_widths(doc, d0.get("W"))
+            # /Encoding /Identity-H ⇒ code == CID; other CMaps are out of
+            # scope — 2-byte decode still applies (the common real case)
+            return FontInfo(max(code_bytes, 2), to_uni, None, widths,
+                            default_w)
+
+        # simple font
+        enc_map: dict[int, str] | None = None
+        enc = doc.resolve(fdict.get("Encoding"))
+        if isinstance(enc, str):
+            base = _BASE_ENCODINGS.get(enc)
+            enc_map = dict(base) if base else None
+        elif isinstance(enc, dict):
+            base_name = doc.resolve(enc.get("BaseEncoding"))
+            base = _BASE_ENCODINGS.get(base_name) if isinstance(
+                base_name, str) else None
+            enc_map = dict(base) if base else dict(_STANDARD)
+            diffs = doc.resolve(enc.get("Differences"))
+            if isinstance(diffs, list):
+                code = 0
+                for item in diffs:
+                    item = doc.resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, str):
+                        ch = _glyph_to_char(item)
+                        if ch is not None:
+                            enc_map[code] = ch
+                        else:
+                            enc_map.pop(code, None)
+                        code += 1
+
+        widths = {}
+        default_w = _COURIER_EM * 1000.0
+        fc = doc.resolve(fdict.get("FirstChar"))
+        warr = doc.resolve(fdict.get("Widths"))
+        if isinstance(fc, (int, float)) and isinstance(warr, list):
+            fdesc = doc.resolve(fdict.get("FontDescriptor"))
+            if isinstance(fdesc, dict):
+                mw = doc.resolve(fdesc.get("MissingWidth"))
+                if isinstance(mw, (int, float)):
+                    default_w = float(mw)
+            for k, w in enumerate(warr):
+                w = doc.resolve(w)
+                if isinstance(w, (int, float)):
+                    widths[int(fc) + k] = float(w)
+        return FontInfo(1, to_uni, enc_map, widths, default_w)
+    except Exception:
+        return _DEFAULT_FONT
+
+
+def _page_fonts(doc: PdfDocument, page: dict) -> dict[str, FontInfo]:
+    """Resource-name → FontInfo for one page (inherited /Resources)."""
+    res = doc.resolve(page.get("Resources") or page.get("_Resources"))
+    if isinstance(res, tuple):
+        res = res[0]
+    if not isinstance(res, dict):
+        return {}
+    fonts = doc.resolve(res.get("Font"))
+    if not isinstance(fonts, dict):
+        return {}
+    return {name: _build_font(doc, f) for name, f in fonts.items()}
+
+
+# --------------------------------------------------------------------------
 # content-stream text extraction
 # --------------------------------------------------------------------------
 
@@ -711,13 +1094,18 @@ def _page_content(doc: PdfDocument, page: dict) -> bytes:
 def extract_page_words(doc: PdfDocument, page: dict) -> list[dict]:
     """Interpret the page's content stream(s) → line dicts
     ``{"y": baseline_pt, "words": [{"text","x","y","w","h"}]}`` in content
-    order. Coordinates are PDF user space (y-up, points)."""
+    order. Coordinates are PDF user space (y-up, points). Show-strings
+    decode through the active font (ToUnicode CMap → /Encoding +
+    /Differences → latin-1 fallback; 2-byte codes for Type0/CID) and
+    advance by the font's /Widths (Courier 600 em when absent)."""
     data = _page_content(doc, page)
+    fonts = _page_fonts(doc, page)
     lines: list[dict] = []
     cur_words: list[dict] = []
     cur_word_chars: list[str] = []
     word_x = 0.0
-    state = {"size": 0.0, "tc": 0.0, "tw": 0.0, "tz": 1.0, "tl": 0.0}
+    state = {"size": 0.0, "tc": 0.0, "tw": 0.0, "tz": 1.0, "tl": 0.0,
+             "font": _DEFAULT_FONT}
     tm = lm = _ID
     last_y = None
     operands: list = []
@@ -743,16 +1131,21 @@ def extract_page_words(doc: PdfDocument, page: dict) -> list[dict]:
         if last_y is not None and abs(tm[5] - last_y) > 1e-6:
             flush_line()
         last_y = tm[5]
-        for ch in raw.decode("latin-1"):
-            adv = (_COURIER_EM * state["size"] + state["tc"]
-                   + (state["tw"] if ch == " " else 0.0)) * state["tz"]
-            if ch == " ":
+        font = state["font"]
+        for code in font.iter_codes(raw):
+            txt = font.decode(code)
+            # word spacing applies to single-byte code 32 only (9.3.3)
+            spc = font.code_bytes == 1 and code == 32
+            adv = (font.width(code) / 1000.0 * state["size"] + state["tc"]
+                   + (state["tw"] if spc else 0.0)) * state["tz"]
+            if txt and not txt.strip():  # decoded whitespace splits words
                 flush_word()
                 tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
                 continue
-            if not cur_word_chars:
-                word_x = tm[4]
-            cur_word_chars.append(ch)
+            if txt:
+                if not cur_word_chars:
+                    word_x = tm[4]
+                cur_word_chars.append(txt)
             tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
 
     def text_move(tx: float, ty: float):
@@ -774,6 +1167,8 @@ def extract_page_words(doc: PdfDocument, page: dict) -> list[dict]:
                 flush_line()
             elif op == "Tf" and len(operands) >= 2:
                 state["size"] = float(operands[-1])
+                if isinstance(operands[-2], str):
+                    state["font"] = fonts.get(operands[-2], _DEFAULT_FONT)
             elif op == "TL" and operands:
                 state["tl"] = float(operands[-1])
             elif op == "Tc" and operands:
@@ -867,27 +1262,161 @@ def _esc_pdf_string(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _esc_pdf_bytes(b: bytes) -> bytes:
+    return b.replace(b"\\", rb"\\").replace(b"(", rb"\(") \
+        .replace(b")", rb"\)")
+
+
 def _content_for(lines: list[str], height: float, size: float = 12.0,
-                 margin: float = 72.0, leading: float = 14.0) -> bytes:
-    parts = [f"BT /F1 {size:g} Tf {leading:g} TL "
-             f"{margin:g} {height - margin:g} Td"]
+                 margin: float = 72.0, leading: float = 14.0,
+                 show_token=None) -> bytes:
+    """Content stream for ``lines``; ``show_token(line) -> bytes`` emits
+    the show-string token (default: escaped literal, latin-1 bytes)."""
+    if show_token is None:
+        def show_token(line: str) -> bytes:
+            return b"(" + _esc_pdf_bytes(line.encode("latin-1")) + b") Tj"
+    parts = [(f"BT /F1 {size:g} Tf {leading:g} TL "
+              f"{margin:g} {height - margin:g} Td").encode("latin-1")]
     for i, line in enumerate(lines):
         if i:
-            parts.append("T*")
-        parts.append(f"({_esc_pdf_string(line)}) Tj")
-    parts.append("ET")
-    return " ".join(parts).encode("latin-1")
+            parts.append(b"T*")
+        parts.append(show_token(line))
+    parts.append(b"ET")
+    return b" ".join(parts)
+
+
+def _write_cmap(codes: dict[str, int], two_byte: bool) -> bytes:
+    """Minimal /ToUnicode CMap stream covering ``codes`` (char → code)."""
+    width = 4 if two_byte else 2
+    lo, hi = ("<0000>", "<FFFF>") if two_byte else ("<20>", "<FE>")
+    entries = "\n".join(
+        f"<{code:0{width}X}> <{''.join(f'{ord(u):04X}' for u in ch)}>"
+        for ch, code in sorted(codes.items(), key=lambda kv: kv[1]))
+    return (f"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /ATTPFixture def
+/CMapType 2 def
+1 begincodespacerange
+{lo} {hi}
+endcodespacerange
+{len(codes)} beginbfchar
+{entries}
+endbfchar
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end""").encode("latin-1")
+
+
+def _font_dialect(font: str, pages: list[dict], extra_start: int):
+    """(font_body, extra_objects, show_token) for one writer font dialect.
+
+    * ``courier`` — bare /Type1 /Courier, latin-1 literals (the original
+      writer; exercises the unencoded fallback path);
+    * ``winansi`` — /BaseEncoding /WinAnsiEncoding + /Differences
+      remapping code 232 to /eacute + /FirstChar //Widths + a
+      /MissingWidth descriptor (exercises base-encoding, Differences
+      glyph-name lookup, and the /Widths advance path);
+    * ``tounicode`` — codes 0xA1.. assigned per distinct char with a
+      /ToUnicode CMap (decode is ONLY possible through the CMap);
+    * ``cid`` — /Type0 /Identity-H with 2-byte codes 0x0101.., a
+      descendant CIDFont carrying /DW + /W, and a 2-byte ToUnicode CMap
+      (hex show-strings; exercises the whole CID path)."""
+    if font == "courier":
+        return (b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+                {}, None)
+
+    if font == "winansi":
+        widths = " ".join("600" for _ in range(32, 127))
+        body = (
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+            " /Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding"
+            " /Differences [232 /eacute] >>"
+            f" /FirstChar 32 /LastChar 126 /Widths [{widths}]"
+            " /FontDescriptor << /Type /FontDescriptor /FontName /Courier"
+            " /MissingWidth 600 >> >>").encode()
+
+        def tok(line: str) -> bytes:
+            out = bytearray()
+            for ch in line:
+                if ch == "é":
+                    out.append(232)  # via the /Differences entry
+                else:
+                    out += ch.encode("cp1252")
+            return b"(" + _esc_pdf_bytes(bytes(out)) + b") Tj"
+
+        return body, {}, tok
+
+    # code assignment for the CMap dialects: distinct chars in first-
+    # appearance order across the whole document (deterministic)
+    charset: dict[str, int] = {}
+    for pg in pages:
+        for line in pg.get("lines", []):
+            for ch in line:
+                if ch != " " and ch not in charset:
+                    charset[ch] = 0
+    if font == "tounicode":
+        if len(charset) > 0xFE - 0xA1:
+            raise ValueError("PDF fixture: too many distinct chars "
+                             "for the tounicode dialect")
+        codes = {ch: 0xA1 + i for i, ch in enumerate(charset)}
+        codes[" "] = 0x20
+        cmap = _write_cmap(codes, two_byte=False)
+        body = (f"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+                f" /ToUnicode {extra_start} 0 R >>").encode()
+        extra = {extra_start: (
+            f"<< /Length {len(cmap)} >>\n".encode()
+            + b"stream\n" + cmap + b"\nendstream")}
+
+        def tok(line: str, _c=codes) -> bytes:
+            return (b"(" + _esc_pdf_bytes(bytes(_c[ch] for ch in line))
+                    + b") Tj")
+
+        return body, extra, tok
+
+    if font == "cid":
+        codes = {ch: 0x0101 + i for i, ch in enumerate(charset)}
+        codes[" "] = 0x0100  # below the charset range — never collides
+        cmap = _write_cmap(codes, two_byte=True)
+        desc_num, cmap_num = extra_start, extra_start + 1
+        warr = " ".join("600" for _ in range(len(codes)))
+        body = (f"<< /Type /Font /Subtype /Type0 /BaseFont /Courier"
+                f" /Encoding /Identity-H"
+                f" /DescendantFonts [{desc_num} 0 R]"
+                f" /ToUnicode {cmap_num} 0 R >>").encode()
+        extra = {
+            desc_num: (
+                "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Courier"
+                " /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+                " /Supplement 0 >>"
+                f" /DW 600 /W [257 [{warr}]] >>").encode(),
+            cmap_num: (f"<< /Length {len(cmap)} >>\n".encode()
+                       + b"stream\n" + cmap + b"\nendstream"),
+        }
+
+        def tok(line: str, _c=codes) -> bytes:
+            hx = "".join(f"{_c[ch]:04X}" for ch in line)
+            return f"<{hx}> Tj".encode()
+
+        return body, extra, tok
+
+    raise ValueError(f"PDF fixture: unknown font dialect {font!r}")
 
 
 def write_pdf(pages: list[dict], *, compress: bool = False,
               xref_stream: bool = False, predictor: bool = False,
               objstm: bool = False, encrypted_flag: bool = False,
-              version: str = "1.4") -> bytes:
+              font: str = "courier", version: str = "1.4") -> bytes:
     """Spec-valid PDF fixture writer. ``pages``: dicts with ``width``/
     ``height`` (points), optional ``rotate`` and ``lines`` (list[str],
-    Courier 12pt). Dialects: classic xref (default), ``xref_stream``
-    (PDF 1.5 /Type /XRef), ``predictor`` (PNG Up on the xref stream),
-    ``objstm`` (page dicts packed in a /Type /ObjStm). ``compress``
+    Courier 12pt). Structural dialects: classic xref (default),
+    ``xref_stream`` (PDF 1.5 /Type /XRef), ``predictor`` (PNG Up on the
+    xref stream), ``objstm`` (page dicts packed in a /Type /ObjStm).
+    Font dialects (``font``): ``courier`` (unencoded latin-1 literals),
+    ``winansi`` (/BaseEncoding + /Differences + /Widths), ``tounicode``
+    (opaque codes + /ToUnicode CMap), ``cid`` (/Type0 /Identity-H,
+    2-byte hex show-strings) — see :func:`_font_dialect`. ``compress``
     flate-compresses content streams. ``encrypted_flag`` plants /Encrypt
     in the trailer (flag-only; nothing is actually encrypted)."""
     if (predictor or objstm) and not xref_stream:
@@ -896,13 +1425,16 @@ def write_pdf(pages: list[dict], *, compress: bool = False,
         version = "1.5"
     objects: dict[int, bytes] = {}  # num -> serialized body (no obj wrapper)
     n_pages = len(pages)
-    # numbering: 1 catalog, 2 pages-root, 3 font, 4.. page/content pairs
+    # numbering: 1 catalog, 2 pages-root, 3 font, 4.. page/content pairs,
+    # then any font-dialect extras (CMap streams, descendant fonts)
     kid_refs = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objects[2] = (f"<< /Type /Pages /Count {n_pages} "
                   f"/Kids [{kid_refs}] >>").encode()
-    objects[3] = (b"<< /Type /Font /Subtype /Type1 "
-                  b"/BaseFont /Courier >>")
+    font_body, font_extra, show_token = _font_dialect(
+        font, pages, 4 + 2 * n_pages)
+    objects[3] = font_body
+    objects.update(font_extra)
     for i, pg in enumerate(pages):
         w = float(pg.get("width", 612))
         h = float(pg.get("height", 792))
@@ -913,7 +1445,8 @@ def write_pdf(pages: list[dict], *, compress: bool = False,
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w:g} {h:g}]"
             f"{rotate} /Resources << /Font << /F1 3 0 R >> >> "
             f"/Contents {cnum} 0 R >>").encode()
-        content = _content_for(list(pg.get("lines", [])), h)
+        content = _content_for(list(pg.get("lines", [])), h,
+                               show_token=show_token)
         if compress:
             comp = zlib.compress(content)
             objects[cnum] = (

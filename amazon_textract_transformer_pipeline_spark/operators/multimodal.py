@@ -72,9 +72,12 @@ def synth_pdf_df(spark, n: int, partitions: int | None = None) -> DataFrame:
     """Distributed deterministic PDF corpus: (media_id, blob). Closed-form
     in media_id (dims/page-count/line text below mirror the DuckDB gate
     oracle exactly), cycling through all six structural dialects of
-    functions/pdf.write_pdf so the gate exercises classic xref, Flate
-    content, xref streams, PNG-predictored xref streams, and object
-    streams in one pass."""
+    functions/pdf.write_pdf (classic xref, Flate content, xref streams,
+    PNG-predictored xref streams, object streams) crossed with all four
+    font dialects (unencoded Courier, WinAnsi + /Differences + /Widths,
+    /ToUnicode CMap, Type0/CID Identity-H) — every line carries the
+    accented token 'café' so the encoded-font paths must actually decode
+    (a latin-1-only reader would emit mojibake and hash-mismatch)."""
     from ..functions.pdf import write_pdf
 
     schema = T.StructType([
@@ -84,6 +87,7 @@ def synth_pdf_df(spark, n: int, partitions: int | None = None) -> DataFrame:
     dialects = [{}, {"compress": True}, {"xref_stream": True},
                 {"xref_stream": True, "predictor": True},
                 {"objstm": True}, {"objstm": True, "compress": True}]
+    fonts = ["courier", "winansi", "tounicode", "cid"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -93,13 +97,15 @@ def synth_pdf_df(spark, n: int, partitions: int | None = None) -> DataFrame:
                 pages = []
                 for p in range(1 + i % 4):
                     lines = [
-                        f"doc {i} page {p} line {j} tok{(i*7 + p*3 + j) % 100}"
+                        f"doc {i} page {p} line {j} "
+                        f"tok{(i*7 + p*3 + j) % 100} café"
                         for j in range(1 + (i + p) % 3)]
                     pages.append({"width": 300 + (i % 5) * 60,
                                   "height": 400 + (i % 4) * 80,
                                   "lines": lines})
                 rows.append({"media_id": i,
-                             "blob": write_pdf(pages, **dialects[i % 6])})
+                             "blob": write_pdf(pages, font=fonts[i % 4],
+                                               **dialects[i % 6])})
             yield pd.DataFrame(rows)
 
     rng = spark.range(0, n, 1, partitions or 8)

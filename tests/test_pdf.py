@@ -63,6 +63,149 @@ def test_broken_xref_scan_fallback():
     assert pdf.pdf_extract_text(bad) == WANT_TEXT
 
 
+ACCENT_PAGES = [
+    {"width": 612, "height": 792, "lines": ["Héllo wörld café naïve",
+                                            "second liné ø å ñ Æ ß"]},
+    {"width": 500, "height": 400, "rotate": 90, "lines": ["rotated pagé"]},
+]
+ACCENT_TEXT = "Héllo wörld café naïve\nsecond liné ø å ñ Æ ß\frotated pagé"
+
+
+@pytest.mark.parametrize("font", ["courier", "winansi", "tounicode", "cid"])
+@pytest.mark.parametrize("kw", [{}, {"objstm": True}],
+                         ids=["classic", "objstm"])
+def test_font_dialects_decode_accented_text(font, kw):
+    """Every font dialect extracts byte-identical accented text — the
+    winansi form only via /Differences + WinAnsi, the tounicode form
+    only via its CMap, the cid form only via 2-byte Identity-H codes."""
+    blob = pdf.write_pdf(ACCENT_PAGES, font=font, **kw)
+    assert pdf.pdf_extract_text(blob) == ACCENT_TEXT
+
+
+def test_differences_overrides_base_encoding():
+    """Code 232 is è in WinAnsi; the /Differences [232 /eacute] remap
+    must win — mojibake here means the Differences array was ignored."""
+    blob = pdf.write_pdf([{"width": 612, "height": 792,
+                           "lines": ["café"]}], font="winansi")
+    assert pdf.pdf_extract_text(blob) == "café"
+    # the show-string carries the remapped code 232, never UTF-8 é —
+    # only the Differences lookup can produce the right char
+    assert b"caf\xe8" in blob
+    assert "café".encode("utf-8") not in blob
+
+
+def test_cid_strings_are_two_byte_hex():
+    blob = pdf.write_pdf([{"width": 612, "height": 792,
+                           "lines": ["ab"]}], font="cid")
+    assert b"<010101020100" in blob or b"<01010102>" in blob
+    assert pdf.pdf_extract_text(blob) == "ab"
+
+
+def test_parse_cmap_bfchar_and_bfrange_forms():
+    from amazon_textract_transformer_pipeline_spark.functions.pdf import (
+        _parse_cmap_tounicode,
+    )
+
+    cmap = b"""
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+2 beginbfchar
+<0041> <0058>
+<0042> <00E90301>
+endbfchar
+2 beginbfrange
+<0050> <0052> <0061>
+<0060> <0061> [<0041> <0042>]
+endbfrange
+"""
+    m, nbytes = _parse_cmap_tounicode(cmap)
+    assert nbytes == 2
+    assert m[0x41] == "X"
+    assert m[0x42] == "é́"          # multi-codepoint destination
+    assert (m[0x50], m[0x51], m[0x52]) == ("a", "b", "c")  # scalar range
+    assert (m[0x60], m[0x61]) == ("A", "B")                # array range
+
+
+def test_agl_and_glyph_names():
+    from amazon_textract_transformer_pipeline_spark.functions.pdf import (
+        _glyph_to_char,
+    )
+
+    assert _glyph_to_char("eacute") == "é"
+    assert _glyph_to_char("udieresis") == "ü"
+    assert _glyph_to_char("ntilde") == "ñ"
+    assert _glyph_to_char("oslash") == "ø"
+    assert _glyph_to_char("aring") == "å"
+    assert _glyph_to_char("AE") == "Æ"
+    assert _glyph_to_char("germandbls") == "ß"
+    assert _glyph_to_char("quotedblleft") == "“"
+    assert _glyph_to_char("uni0041") == "A"
+    assert _glyph_to_char("u1F600") == "\U0001F600"
+    assert _glyph_to_char("nosuchglyphname") is None
+
+
+def test_widths_array_drives_word_geometry():
+    """A /Widths table replaces the Courier 600-em constant: word width
+    = Σ w(code)/1000 × size. Hand-built PDF with width-500 glyphs."""
+    raw = (b"%PDF-1.4\n"
+           b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+           b"2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R] >> endobj\n"
+           b"3 0 obj << /Type /Page /Parent 2 0 R"
+           b" /MediaBox [0 0 612 792]"
+           b" /Resources << /Font << /F1 4 0 R >> >>"
+           b" /Contents 5 0 R >> endobj\n"
+           b"4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helv"
+           b" /FirstChar 65 /LastChar 66 /Widths [500 500] >> endobj\n"
+           b"5 0 obj << /Length 41 >>\n"
+           b"stream\nBT /F1 12 Tf 72 700 Td (AB) Tj ET\nendstream"
+           b" endobj\n")
+    lines = pdf.pdf_extract_words(raw)[0]["lines"]
+    word = lines[0]["words"][0]
+    assert word["text"] == "AB"
+    assert word["w"] == pytest.approx(2 * 500 / 1000.0 * 12)
+    # an unlisted code would fall back to 600 (no descriptor) — covered
+    # by the default-font roundtrips above
+
+
+def test_type0_without_tounicode_identity_decode():
+    """2-byte Identity-H codes with no CMap decode as BMP identity —
+    best-effort, never raises."""
+    raw = (b"%PDF-1.4\n"
+           b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+           b"2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R] >> endobj\n"
+           b"3 0 obj << /Type /Page /Parent 2 0 R"
+           b" /MediaBox [0 0 612 792]"
+           b" /Resources << /Font << /F1 4 0 R >> >>"
+           b" /Contents 5 0 R >> endobj\n"
+           b"4 0 obj << /Type /Font /Subtype /Type0 /BaseFont /X"
+           b" /Encoding /Identity-H /DescendantFonts [6 0 R] >> endobj\n"
+           b"6 0 obj << /Type /Font /Subtype /CIDFontType2 /DW 600"
+           b" /W [65 [500 500]] >> endobj\n"
+           b"5 0 obj << /Length 47 >>\n"
+           b"stream\nBT /F1 12 Tf 72 700 Td <00410042> Tj ET\nendstream"
+           b" endobj\n")
+    page = pdf.pdf_extract_words(raw)[0]
+    word = page["lines"][0]["words"][0]
+    assert word["text"] == "AB"
+    assert word["w"] == pytest.approx(2 * 500 / 1000.0 * 12)  # CID /W used
+
+
+def test_resources_inherited_from_pages_node():
+    """/Resources on the /Pages node reaches leaf pages (7.7.3.4) — the
+    font lookup must see inherited resources."""
+    raw = (b"%PDF-1.4\n"
+           b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+           b"2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R]"
+           b" /Resources << /Font << /F1 4 0 R >> >> >> endobj\n"
+           b"3 0 obj << /Type /Page /Parent 2 0 R"
+           b" /MediaBox [0 0 612 792] /Contents 5 0 R >> endobj\n"
+           b"4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /C"
+           b" /Encoding << /Differences [65 /eacute] >> >> endobj\n"
+           b"5 0 obj << /Length 40 >>\n"
+           b"stream\nBT /F1 12 Tf 72 700 Td (A) Tj ET\nendstream"
+           b" endobj\n")
+    assert pdf.pdf_extract_text(raw) == "é"
+
+
 def test_stale_xref_offset_repairs_and_keeps_tree_order():
     """A stale classic-xref offset (incremental-update debris) must trigger
     the scan fallback AND the retried load must see the repaired entry —
