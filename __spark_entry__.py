@@ -464,7 +464,7 @@ SELECT i AS media_id,
        cast(300 + (i % 5) * 60 AS int) AS width,
        cast(400 + (i % 4) * 80 AS int) AS height,
        cast(1 + i % 4 AS int) AS n_pages,
-       false AS encrypted,
+       (i % 8) IN (3, 7) AS encrypted,
        true AS valid
 FROM range(0, 120) t(i)"""
 

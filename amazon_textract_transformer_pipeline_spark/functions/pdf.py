@@ -25,6 +25,14 @@ codec family (functions/codecs.py):
   *bytes*, not glyph-index mojibake. Glyph advance uses /FirstChar +
   /Widths (or CID /DW + /W), falling back to the Courier 600/1000 em
   metric for fonts with no width table;
+* **decryption** — the standard security handler (RC4 V≤2/R2-3 and
+  AES-128-CBC V4/R4 /AESV2) with the EMPTY user password: the
+  owner-locked case that dominates "encrypted" crawl PDFs. /U is
+  verified first; a true user password leaves the document
+  metadata-only (never ciphertext-as-text). AES runs on a from-scratch
+  FIPS-197 implementation (test-vector pinned) — pure Python, fine for
+  crawl-typical streams; a hot path with many large AES documents would
+  want a native crypto seam;
 * **rasterization stays a seam** — pixel rendering needs a rasterizer
   (pdf2image/pypdfium2); :func:`render_plan` computes the pixel geometry
   the reference's 300-DPI convention implies, and
@@ -323,12 +331,42 @@ class PdfDocument:
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
         self._scanned = False
+        self._enc: _StdSecurity | None = None
+        self._enc_num = -1
         try:
             self._load_xref()
         except Exception:
             self.xref = {}
         if not self.xref or "Root" not in self.trailer:
             self._scan_fallback()
+        self._setup_encryption()
+
+    def _setup_encryption(self) -> None:
+        """Standard security handler with the empty user password; wrong
+        passwords or unsupported handlers leave the doc metadata-only
+        (``encrypted`` still flags either way)."""
+        ref = self.trailer.get("Encrypt")
+        if ref is None:
+            return
+        if isinstance(ref, Ref):
+            self._enc_num = ref.num
+        enc = self.resolve(ref)
+        if isinstance(enc, tuple):
+            enc = enc[0]
+        if not isinstance(enc, dict):
+            return
+        ids = self.trailer.get("ID")
+        id0 = ids[0] if isinstance(ids, list) and ids and \
+            isinstance(ids[0], bytes) else b""
+        try:
+            sec = _StdSecurity(enc, id0, self.resolve)
+        except Exception:
+            return
+        if sec.ok:
+            self._enc = sec
+            # anything loaded while bootstrapping was read undecrypted
+            self._cache = {}
+            self._objstm_cache = {}
 
     # -- xref ------------------------------------------------------------
 
@@ -503,6 +541,10 @@ class PdfDocument:
             d, raw = self._parse_stream_at(m.end())
             obj = (d, raw) if raw else (
                 d.get("__value__") if set(d) == {"__value__"} else d)
+            # direct objects: decrypt strings + stream payloads (ObjStm
+            # members are NOT re-decrypted — their container was)
+            if self._enc is not None and num != self._enc_num:
+                obj = self._enc.decrypt_object(obj, num)
         else:  # in an object stream
             obj = self._load_from_objstm(ent[1], ent[2])
         self._cache[num] = obj
@@ -625,7 +667,8 @@ def pdf_meta(blob: bytes) -> dict:
             pages.append({"width_pt": w, "height_pt": h,
                           "rotate": p["_Rotate"]})
         return {"version": doc.version, "n_pages": len(pages),
-                "encrypted": doc.encrypted, "pages": pages}
+                "encrypted": doc.encrypted,
+                "decrypted": doc._enc is not None, "pages": pages}
     except ValueError:
         raise
     except Exception as e:  # hostile input: any parser failure → ValueError
@@ -650,6 +693,258 @@ def render_plan(width_pt: float, height_pt: float,
     registry rows image_utils.py:27-42). Pure arithmetic; the render
     itself is the external seam."""
     return round(width_pt * dpi / 72.0), round(height_pt * dpi / 72.0)
+
+
+# --------------------------------------------------------------------------
+# standard security handler (ISO 32000-1 §7.6.3): RC4 and AES-128-CBC
+# with the EMPTY user password — the owner-locked case that dominates
+# "encrypted" PDFs in web crawls (readable by design; only permissions
+# are owner-gated). Wrong/true user passwords leave the document
+# metadata-only, exactly as before.
+# --------------------------------------------------------------------------
+
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+# AES-128: S-box derived from the GF(2^8) inverse + affine transform
+# (computed, not transcribed — the generation rule IS the spec).
+def _aes_tables():
+    sbox = [0] * 256
+    p = q = 1
+    sbox[0] = 0x63
+    while True:
+        # p := p * 3 in GF(2^8); q := q / 3 (3 is a generator)
+        p = p ^ ((p << 1) & 0xFF) ^ (0x1B if p & 0x80 else 0)
+        q ^= q << 1
+        q ^= q << 2
+        q ^= q << 4
+        q &= 0xFF
+        if q & 0x80:
+            q ^= 0x09
+        x = q ^ ((q << 1) | (q >> 7)) ^ ((q << 2) | (q >> 6)) \
+            ^ ((q << 3) | (q >> 5)) ^ ((q << 4) | (q >> 4))
+        sbox[p] = (x ^ 0x63) & 0xFF
+        if p == 1:
+            break
+    inv = [0] * 256
+    for i, v in enumerate(sbox):
+        inv[v] = i
+    return bytes(sbox), bytes(inv)
+
+
+_SBOX, _INV_SBOX = _aes_tables()
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+
+def _xt(a: int) -> int:  # xtime: multiply by 2 in GF(2^8)
+    return ((a << 1) ^ (0x1B if a & 0x80 else 0)) & 0xFF
+
+
+def _gmul(a: int, b: int) -> int:
+    out = 0
+    while b:
+        if b & 1:
+            out ^= a
+        a = _xt(a)
+        b >>= 1
+    return out
+
+
+def _aes_expand_key(key: bytes) -> list[bytes]:
+    words = [key[i:i + 4] for i in range(0, 16, 4)]
+    for i in range(4, 44):
+        t = words[i - 1]
+        if i % 4 == 0:  # RotWord + SubWord + Rcon
+            t = bytes([_SBOX[t[1]] ^ _RCON[i // 4 - 1], _SBOX[t[2]],
+                       _SBOX[t[3]], _SBOX[t[0]]])
+        words.append(bytes(x ^ y for x, y in zip(words[i - 4], t)))
+    return [b"".join(words[i:i + 4]) for i in range(0, 44, 4)]
+
+
+def _aes_encrypt_block(rk: list[bytes], block: bytes) -> bytes:
+    s = bytes(x ^ y for x, y in zip(block, rk[0]))
+    for rnd in range(1, 11):
+        s = bytes(_SBOX[b] for b in s)                       # SubBytes
+        s = bytes(s[(i + 4 * (i % 4)) % 16] for i in range(16))  # ShiftRows
+        if rnd < 10:                                         # MixColumns
+            out = bytearray(16)
+            for c in range(4):
+                col = s[4 * c:4 * c + 4]
+                for r in range(4):
+                    out[4 * c + r] = (
+                        _gmul(col[r], 2) ^ _gmul(col[(r + 1) % 4], 3)
+                        ^ col[(r + 2) % 4] ^ col[(r + 3) % 4])
+            s = bytes(out)
+        s = bytes(x ^ y for x, y in zip(s, rk[rnd]))
+    return s
+
+
+def _aes_decrypt_block(rk: list[bytes], block: bytes) -> bytes:
+    s = bytes(x ^ y for x, y in zip(block, rk[10]))
+    for rnd in range(9, -1, -1):
+        s = bytes(s[(i - 4 * (i % 4)) % 16] for i in range(16))  # InvShift
+        s = bytes(_INV_SBOX[b] for b in s)                       # InvSub
+        s = bytes(x ^ y for x, y in zip(s, rk[rnd]))             # AddKey
+        if rnd > 0:                                              # InvMix
+            out = bytearray(16)
+            for c in range(4):
+                col = s[4 * c:4 * c + 4]
+                for r in range(4):
+                    out[4 * c + r] = (
+                        _gmul(col[r], 14) ^ _gmul(col[(r + 1) % 4], 11)
+                        ^ _gmul(col[(r + 2) % 4], 13)
+                        ^ _gmul(col[(r + 3) % 4], 9))
+            s = bytes(out)
+    return s
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AESV2 stream/string: 16-byte IV prefix, CBC, PKCS#7 pad."""
+    if len(data) < 32 or len(data) % 16:
+        return b""
+    rk = _aes_expand_key(key)
+    prev = data[:16]
+    out = bytearray()
+    for i in range(16, len(data), 16):
+        blk = data[i:i + 16]
+        dec = _aes_decrypt_block(rk, blk)
+        out += bytes(x ^ y for x, y in zip(dec, prev))
+        prev = blk
+    pad = out[-1] if out else 0
+    if 1 <= pad <= 16:
+        out = out[:-pad]
+    return bytes(out)
+
+
+def _aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
+    rk = _aes_expand_key(key)
+    padlen = 16 - (len(data) % 16)
+    data = data + bytes([padlen]) * padlen
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(x ^ y for x, y in zip(data[i:i + 16], prev))
+        prev = _aes_encrypt_block(rk, blk)
+        out += prev
+    return bytes(out)
+
+
+def _std_file_key(o: bytes, p: int, id0: bytes, r: int, n: int,
+                  encrypt_metadata: bool = True,
+                  user_pwd: bytes = b"") -> bytes:
+    """Algorithm 2: file encryption key from the (empty) user password."""
+    import hashlib
+
+    pwd = (user_pwd + _PAD)[:32]
+    h = hashlib.md5(pwd + o[:32]
+                    + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+class _StdSecurity:
+    """Decryption state for one document. ``ok`` is True only when the
+    empty user password verifies against /U — otherwise the caller
+    leaves the document metadata-only."""
+
+    def __init__(self, enc: dict, id0: bytes, resolve):
+        import hashlib
+
+        if resolve(enc.get("Filter")) != "Standard":
+            raise ValueError("PDF: non-standard security handler")
+        self.v = int(resolve(enc.get("V")) or 0)
+        self.r = int(resolve(enc.get("R")) or 2)
+        if self.v not in (1, 2, 4) or self.r not in (2, 3, 4):
+            raise ValueError(f"PDF: unsupported encryption V={self.v}")
+        length = int(resolve(enc.get("Length")) or 40)
+        self.n = max(5, min(16, length // 8))
+        if self.r == 2:
+            self.n = 5
+        self.aes = False
+        if self.v == 4:
+            cf = resolve(enc.get("CF")) or {}
+            stdcf = resolve(cf.get("StdCF")) if isinstance(cf, dict) else {}
+            cfm = resolve(stdcf.get("CFM")) if isinstance(stdcf, dict) \
+                else None
+            self.aes = cfm == "AESV2"
+            if cfm not in ("V2", "AESV2"):
+                raise ValueError(f"PDF: unsupported crypt filter {cfm}")
+        o = resolve(enc.get("O")) or b""
+        u = resolve(enc.get("U")) or b""
+        p = int(resolve(enc.get("P")) or -1)
+        em = resolve(enc.get("EncryptMetadata"))
+        em = True if em is None else bool(em)
+        self.key = _std_file_key(o, p, id0, self.r, self.n, em)
+        # verify the empty user password (Algorithms 4/5)
+        if self.r == 2:
+            self.ok = _rc4(self.key, _PAD) == u[:32]
+        else:
+            h = hashlib.md5(_PAD + id0).digest()
+            x = _rc4(self.key, h)
+            for i in range(1, 20):
+                x = _rc4(bytes(b ^ i for b in self.key), x)
+            self.ok = x[:16] == u[:16]
+
+    def _obj_key(self, num: int, gen: int = 0) -> bytes:
+        import hashlib
+
+        h = hashlib.md5(self.key + num.to_bytes(3, "little")
+                        + gen.to_bytes(2, "little")
+                        + (b"sAlT" if self.aes else b"")).digest()
+        return h[:min(self.n + 5, 16)]
+
+    def decrypt_bytes(self, data: bytes, num: int, gen: int = 0) -> bytes:
+        k = self._obj_key(num, gen)
+        return _aes_cbc_decrypt(k, data) if self.aes else _rc4(k, data)
+
+    def encrypt_bytes(self, data: bytes, num: int, gen: int = 0,
+                      iv: bytes = b"\x00" * 16) -> bytes:
+        k = self._obj_key(num, gen)
+        return _aes_cbc_encrypt(k, data, iv) if self.aes \
+            else _rc4(k, data)
+
+    def decrypt_object(self, obj, num: int):
+        """Strings (recursively) and stream payloads; numbers/names/refs
+        pass through. ObjStm members must NOT come through here (the
+        container stream was already decrypted)."""
+        if isinstance(obj, tuple):
+            d, raw = obj
+            return (self._walk(d, num), self.decrypt_bytes(raw, num))
+        return self._walk(obj, num)
+
+    def _walk(self, v, num: int):
+        if isinstance(v, bytes):
+            return self.decrypt_bytes(v, num)
+        if isinstance(v, dict):
+            return {k: self._walk(x, num) for k, x in v.items()}
+        if isinstance(v, list):
+            return [self._walk(x, num) for x in v]
+        return v
 
 
 # --------------------------------------------------------------------------
@@ -1077,6 +1372,11 @@ _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
 def _page_content(doc: PdfDocument, page: dict) -> bytes:
+    if doc.encrypted and doc._enc is None:
+        # encrypted but not decryptable (true user password / unsupported
+        # handler): metadata-only — never feed ciphertext to the
+        # interpreter as if it were content
+        return b""
     contents = doc.resolve(page.get("Contents"))
     parts = []
     items = contents if isinstance(contents, list) else [contents]
@@ -1404,10 +1704,89 @@ def _font_dialect(font: str, pages: list[dict], extra_start: int):
     raise ValueError(f"PDF fixture: unknown font dialect {font!r}")
 
 
+def _make_encryptor(mode: str, seed: bytes):
+    """(sec, enc_dict_body, id0) for the writer's ``encrypt`` dialects:
+    ``rc4`` = V2/R3 128-bit RC4, ``aes`` = V4/R4 /AESV2. Owner password
+    'owner', EMPTY user password (the owner-locked crawl case); /O, /U
+    computed per Algorithms 3/5 so any conforming reader validates."""
+    import hashlib
+
+    id0 = hashlib.md5(b"attp-pdf-id" + seed).digest()
+    if mode == "rc4":
+        v, r, length = 2, 3, 128
+        cf = b""
+    elif mode == "aes":
+        v, r, length = 4, 4, 128
+        cf = (b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+              b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF")
+    else:
+        raise ValueError(f"PDF fixture: unknown encrypt mode {mode!r}")
+    n = length // 8
+    p = -4  # all permissions denied except read — the owner-locked shape
+    # Algorithm 3: /O from the owner password
+    h = hashlib.md5((b"owner" + _PAD)[:32]).digest()
+    for _ in range(50):
+        h = hashlib.md5(h).digest()
+    ko = h[:n]
+    o = _rc4(ko, _PAD)
+    for i in range(1, 20):
+        o = _rc4(bytes(b ^ i for b in ko), o)
+    key = _std_file_key(o, p, id0, r, n)
+    # Algorithm 5: /U for the empty user password
+    x = hashlib.md5(_PAD + id0).digest()
+    x = _rc4(key, x)
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    u = x + b"\x00" * 16
+    body = (f"<< /Filter /Standard /V {v} /R {r} /Length {length}"
+            f" /P {p}".encode()
+            + cf
+            + b" /O <" + o.hex().encode() + b">"
+            + b" /U <" + u.hex().encode() + b"> >>")
+    sec = _StdSecurity(
+        {"Filter": "Standard", "V": v, "R": r, "Length": length,
+         "P": p, "O": o, "U": u,
+         **({"CF": {"StdCF": {"CFM": "AESV2"}}} if mode == "aes" else {})},
+        id0, lambda x: x)
+    if not sec.ok:  # self-check: the reader must accept what we wrote
+        raise ValueError("PDF fixture: encryptor self-check failed")
+    return sec, body, id0
+
+
+def _det_iv(num: int, id0: bytes) -> bytes:
+    import hashlib
+
+    return hashlib.md5(b"iv" + num.to_bytes(4, "little") + id0).digest()
+
+
+def _encrypt_serialized(body: bytes, num: int, sec: "_StdSecurity",
+                        id0: bytes) -> bytes:
+    """Encrypt one serialized object body: stream payloads wholesale
+    (rewriting /Length), literal strings in dicts as encrypted hex
+    strings. Safe on writer output only (no escapes, first 'stream' is
+    the real keyword)."""
+    m = re.search(rb"stream\n", body)
+    if m:
+        head, payload = body[:m.start()], body[m.end():]
+        if payload.endswith(b"\nendstream"):
+            payload = payload[:-10]
+        enc = sec.encrypt_bytes(payload, num, iv=_det_iv(num, id0))
+        head = re.sub(rb"/Length \d+", b"/Length %d" % len(enc), head,
+                      count=1)
+        return head + b"stream\n" + enc + b"\nendstream"
+
+    def repl(sm: "re.Match[bytes]") -> bytes:
+        enc = sec.encrypt_bytes(sm.group(1), num, iv=_det_iv(num, id0))
+        return b"<" + enc.hex().encode() + b">"
+
+    return re.sub(rb"\(([^()\\]*)\)", repl, body)
+
+
 def write_pdf(pages: list[dict], *, compress: bool = False,
               xref_stream: bool = False, predictor: bool = False,
               objstm: bool = False, encrypted_flag: bool = False,
-              font: str = "courier", version: str = "1.4") -> bytes:
+              font: str = "courier", encrypt: str | None = None,
+              version: str = "1.4") -> bytes:
     """Spec-valid PDF fixture writer. ``pages``: dicts with ``width``/
     ``height`` (points), optional ``rotate`` and ``lines`` (list[str],
     Courier 12pt). Structural dialects: classic xref (default),
@@ -1417,8 +1796,11 @@ def write_pdf(pages: list[dict], *, compress: bool = False,
     ``winansi`` (/BaseEncoding + /Differences + /Widths), ``tounicode``
     (opaque codes + /ToUnicode CMap), ``cid`` (/Type0 /Identity-H,
     2-byte hex show-strings) — see :func:`_font_dialect`. ``compress``
-    flate-compresses content streams. ``encrypted_flag`` plants /Encrypt
-    in the trailer (flag-only; nothing is actually encrypted)."""
+    flate-compresses content streams. ``encrypt`` applies the standard
+    security handler for real (``rc4`` = V2/R3 128-bit, ``aes`` =
+    V4/R4 AESV2; owner password 'owner', empty user password).
+    ``encrypted_flag`` merely plants a dangling /Encrypt in the trailer
+    (flag-only; nothing is actually encrypted)."""
     if (predictor or objstm) and not xref_stream:
         xref_stream = True
     if xref_stream and version == "1.4":
@@ -1457,6 +1839,13 @@ def write_pdf(pages: list[dict], *, compress: bool = False,
                 f"<< /Length {len(content)} >>\n".encode()
                 + b"stream\n" + content + b"\nendstream")
 
+    sec = None
+    id0 = b""
+    enc_body = b""
+    if encrypt:
+        seed = b"".join(objects[n] for n in sorted(objects))
+        sec, enc_body, id0 = _make_encryptor(encrypt, seed)
+
     out = bytearray(f"%PDF-{version}\n".encode())
     out += b"%\xe2\xe3\xcf\xd3\n"  # binary-marker comment
     offsets: dict[int, int] = {}
@@ -1473,7 +1862,10 @@ def write_pdf(pages: list[dict], *, compress: bool = False,
         if num in in_objstm:
             continue
         offsets[num] = len(out)
-        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+        body = objects[num]
+        if sec is not None:
+            body = _encrypt_serialized(body, num, sec, id0)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
 
     objstm_index: dict[int, int] = {}
     if objstm:
@@ -1487,6 +1879,9 @@ def write_pdf(pages: list[dict], *, compress: bool = False,
         payload = (header + "\n").encode() + b"\n".join(bodies) + b"\n"
         first = len(header) + 1
         comp = zlib.compress(payload)
+        if sec is not None:  # container encrypted; members stay plain
+            comp = sec.encrypt_bytes(comp, objstm_num,
+                                     iv=_det_iv(objstm_num, id0))
         offsets[objstm_num] = len(out)
         out += (f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(members)} "
                 f"/First {first} /Length {len(comp)} "
@@ -1494,7 +1889,16 @@ def write_pdf(pages: list[dict], *, compress: bool = False,
         out += comp + b"\nendstream\nendobj\n"
         objstm_index = {n: i for i, n in enumerate(members)}
 
-    enc = b" /Encrypt 99 0 R" if encrypted_flag else b""
+    enc_num = None
+    if sec is not None:
+        # the /Encrypt dict itself is never encrypted nor packed
+        enc_num = (objstm_num or max(objects)) + 1
+        offsets[enc_num] = len(out)
+        out += f"{enc_num} 0 obj\n".encode() + enc_body + b"\nendobj\n"
+        enc = (f" /Encrypt {enc_num} 0 R"
+               f" /ID [<{id0.hex()}> <{id0.hex()}>]").encode()
+    else:
+        enc = b" /Encrypt 99 0 R" if encrypted_flag else b""
     if not xref_stream:
         xref_off = len(out)
         maxnum = max(offsets)
@@ -1507,8 +1911,8 @@ def write_pdf(pages: list[dict], *, compress: bool = False,
         out += f"startxref\n{xref_off}\n%%EOF\n".encode()
         return bytes(out)
 
-    # xref stream dialect
-    xref_num = (objstm_num or max(objects)) + 1
+    # xref stream dialect (the xref stream itself is never encrypted)
+    xref_num = (enc_num or objstm_num or max(objects)) + 1
     xref_off = len(out)
     offsets[xref_num] = xref_off
     size = xref_num + 1

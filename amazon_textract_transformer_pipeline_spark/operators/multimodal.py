@@ -88,6 +88,9 @@ def synth_pdf_df(spark, n: int, partitions: int | None = None) -> DataFrame:
                 {"xref_stream": True, "predictor": True},
                 {"objstm": True}, {"objstm": True, "compress": True}]
     fonts = ["courier", "winansi", "tounicode", "cid"]
+    # standard-security-handler axis: every 8th doc RC4- or AES-encrypted
+    # (owner-locked, empty user password) — text must still extract
+    encrypts = [None, None, None, "rc4", None, None, None, "aes"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -105,6 +108,7 @@ def synth_pdf_df(spark, n: int, partitions: int | None = None) -> DataFrame:
                                   "lines": lines})
                 rows.append({"media_id": i,
                              "blob": write_pdf(pages, font=fonts[i % 4],
+                                               encrypt=encrypts[i % 8],
                                                **dialects[i % 6])})
             yield pd.DataFrame(rows)
 

@@ -206,6 +206,38 @@ def test_resources_inherited_from_pages_node():
     assert pdf.pdf_extract_text(raw) == "é"
 
 
+@pytest.mark.parametrize("enc", ["rc4", "aes"])
+@pytest.mark.parametrize("kw", [{}, {"xref_stream": True},
+                                {"objstm": True, "compress": True}],
+                         ids=["classic", "xrefstm", "objstm-flate"])
+def test_standard_security_handler_decrypts(enc, kw):
+    """Owner-locked (empty-user-password) PDFs — the dominant 'encrypted'
+    crawl case — extract byte-identically; RC4 V2/R3 and AES V4/R4
+    both, across structural dialects; encrypted still flags."""
+    blob = pdf.write_pdf(ACCENT_PAGES, font="winansi", encrypt=enc, **kw)
+    m = pdf.pdf_meta(blob)
+    assert m["encrypted"] is True and m["decrypted"] is True
+    assert m["n_pages"] == 2
+    assert pdf.pdf_extract_text(blob) == ACCENT_TEXT
+    # plaintext really is absent from the file
+    assert b"(H\xe9llo" not in blob and "Héllo".encode("cp1252") not in blob
+
+
+def test_true_user_password_stays_metadata_only():
+    """A /U that doesn't verify against the empty user password (i.e. a
+    real user password) must leave the doc metadata-only — ciphertext is
+    never fed to the content interpreter as if it were text."""
+    blob = pdf.write_pdf(PAGES, encrypt="rc4")
+    # corrupt /U in place: hex digits are case-insensitive to parse but
+    # value-changing when swapped with a different digit
+    i = blob.index(b" /U <") + 5
+    corrupt = blob[:i] + bytes([(blob[i] ^ 1) | 0x30]) + blob[i + 1:]
+    m = pdf.pdf_meta(corrupt)
+    assert m["encrypted"] is True and m["decrypted"] is False
+    assert m["n_pages"] == 3  # structure still reads
+    assert pdf.pdf_extract_text(corrupt) == ""  # metadata-only
+
+
 def test_stale_xref_offset_repairs_and_keeps_tree_order():
     """A stale classic-xref offset (incremental-update debris) must trigger
     the scan fallback AND the retried load must see the repaired entry —
