@@ -258,9 +258,16 @@ def cosine_near_duplicates(embs: DataFrame, threshold: float = 0.98,
     )
 
 
+#: above this k the centroid relation stops being broadcast (k × dim
+#: doubles ≈ 400 MB at k=2^16, dim=768 — the practical broadcast
+#: ceiling); the assignment join is then left to AQE, which picks a
+#: shuffle strategy sized to the actual relation.
+KMEANS_BROADCAST_K = 65_536
+
+
 def kmeans_centroids(corpus: DataFrame, k: int, n_iter: int = 5,
-                     id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     broadcast_k: int = KMEANS_BROADCAST_K) -> DataFrame:
     """Bounded-iteration relational Lloyd's fit → (cent_id, centv) —
     trained replacement for ivf_topk's random-sample centroids (pass the
     result as its ``centroids=`` argument).
@@ -269,26 +276,30 @@ def kmeans_centroids(corpus: DataFrame, k: int, n_iter: int = 5,
     is the same broadcast-centroids max_by-cosine pass the IVF index
     itself runs; update is an element-wise mean (posexplode → (cell, dim)
     hash agg with map-side partials → re-assembled array) followed by
-    L2 normalization. Empty cells keep their previous centroid.
+    L2 normalization. Empty cells keep their previous centroid (the
+    coalescing left join below).
 
     Scale notes: each iteration is one map-side assignment over the
     corpus plus a (k × dim)-cell aggregate; ``n_iter`` is a hard bound
     (default 5 — Lloyd's moves little after a handful of rounds on web
-    embeddings). The k-row centroid relation is collected per iteration
-    to cut lineage and re-broadcast — bounded by k ≈ √N, the same budget
-    class as the index's own centroid broadcast (documented there)."""
+    embeddings). The centroid relation stays a DATAFRAME between
+    iterations: ``localCheckpoint`` (executor storage) cuts the lineage
+    each round where round 4 collected k rows to the driver — at the
+    module's own k ≈ √N guidance that collect was a multi-GB driver
+    object at 10^12 rows. The assignment join broadcasts only while
+    k ≤ ``broadcast_k`` (cap documented above); beyond it the join is
+    AQE-decided, so the driver never materializes the centroids at any
+    k."""
+    to_double = F.expr(
+        f"transform({vec_col}, x -> cast(x as double))").alias("centv")
     cents = (
-        corpus.select(F.col(id_col).alias("cent_id"),
-                      F.col(vec_col).alias("centv"))
+        corpus.select(F.col(id_col).cast("long").alias("cent_id"),
+                      to_double)
         .orderBy(F.expr(_hash_order_expr("cent_id")), F.col("cent_id"))
         .limit(k)
-    )
-    spark = corpus.sparkSession
-    schema = "cent_id long, centv array<double>"
-    prev = [(int(r.cent_id), [float(v) for v in r.centv])
-            for r in cents.collect()]
+    ).localCheckpoint()
     for _ in range(n_iter):
-        cdf = F.broadcast(spark.createDataFrame(prev, schema))
+        cdf = F.broadcast(cents) if k <= broadcast_k else cents
         assigned = (
             corpus.select(F.col(id_col).alias("_id"),
                           F.col(vec_col).alias("_v"))
@@ -315,12 +326,14 @@ def kmeans_centroids(corpus: DataFrame, k: int, n_iter: int = 5,
             .select("cent_id",
                     F.expr("CASE WHEN _n > 0 THEN "
                            "transform(mean, x -> x / _n) ELSE mean END")
-                    .alias("centv"))
+                    .alias("new_centv"))
         )
-        new = {int(r.cent_id): [float(v) for v in r.centv]
-               for r in means.collect()}
-        prev = [(cid, new.get(cid, v)) for cid, v in prev]
-    return spark.createDataFrame(prev, schema)
+        cents = (
+            cents.join(means, "cent_id", "left")
+            .select("cent_id",
+                    F.coalesce("new_centv", "centv").alias("centv"))
+        ).localCheckpoint()
+    return cents
 
 
 def _hash_order_expr(col: str) -> str:
@@ -359,7 +372,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, topk: int = 5,
     downstream (assignment, probing, verification) is unchanged.
     """
     if centroids is not None:
-        cents = F.broadcast(centroids.select("cent_id", "centv"))
+        # trained relation of caller-chosen k: no forced broadcast —
+        # AQE broadcasts it while it is actually small and shuffles
+        # beyond that (same cap rationale as KMEANS_BROADCAST_K)
+        cents = centroids.select("cent_id", "centv")
     else:
         cents = F.broadcast(
             corpus.select(F.col(id_col).alias("cent_id"),
