@@ -443,12 +443,14 @@ FROM range(0, 200) t(i)"""
 
     # real_media_metadata oracle: synth_real_media_df's dims/format are
     # closed-form in media_id (h = 16+i%48, w = 16+(i*7)%48, kind cycle),
-    # so the six real-container header sniffs check against the spec.
+    # so the seven real-container header sniffs check against the spec —
+    # including lossy VP8, whose dims come from the uncompressed
+    # key-frame header (decode stays the declared codec seam).
     sqls["real_media_metadata"] = """
 SELECT i AS media_id,
        cast(16 + (i * 7) % 48 AS int) AS width,
        cast(16 + i % 48 AS int) AS height,
-       (['png','jpeg','bmp','tiff','gif','webp'])[(i % 6)::INT + 1]
+       (['png','jpeg','bmp','tiff','gif','webp','webp'])[(i % 7)::INT + 1]
            AS format,
        true AS valid
 FROM range(0, 150) t(i)"""

@@ -898,3 +898,27 @@ def _to_prefix(value: int) -> tuple[int, int, int]:
     if rem >= (1 << extra_bits):
         return 2 * extra_bits + 3, rem - (1 << extra_bits), extra_bits
     return 2 * extra_bits + 2, rem, extra_bits
+
+
+def encode_webp_vp8_stub(w: int, h: int, seed: int = 0) -> bytes:
+    """Metadata-grade lossy-WebP fixture: a spec-valid VP8 key-frame
+    *uncompressed header* (RFC 6386 §9.1 frame tag, start code, 14-bit
+    dims) over a deterministic filler payload. ``sniff_dimensions``
+    reads the true dims from it — the D1 path never errors on lossy
+    WebP — while ``decode_webp`` refuses the payload with the declared
+    external-codec ValueError (pixel decode of entropy-coded VP8 stays
+    a seam, exercised for real by the PIL importorskip tests)."""
+    if not (0 < w < (1 << 14) and 0 < h < (1 << 14)):
+        raise ValueError("VP8 stub: dims out of 14-bit range")
+    filler = bytes(((seed + i) * 37) & 0xFF for i in range(48))
+    first_part_size = len(filler)
+    # frame tag: key frame (bit0=0), version 0, show_frame=1, size<<5
+    tag = (first_part_size << 5) | (1 << 4)
+    payload = (tag.to_bytes(3, "little") + b"\x9d\x01\x2a"
+               + struct.pack("<H", w & 0x3FFF)
+               + struct.pack("<H", h & 0x3FFF) + filler)
+    if len(payload) & 1:
+        payload += b"\x00"
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

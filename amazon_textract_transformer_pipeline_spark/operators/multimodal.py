@@ -672,10 +672,11 @@ def explode_frames(frames_df: DataFrame) -> DataFrame:
 def synth_real_media_df(spark, n: int, seed: int = 42,
                         partitions: int | None = None) -> DataFrame:
     """Distributed deterministic media table carrying REAL container
-    bytes (round-robin png / jpeg / bmp / multi-frame tiff / gif, all
-    produced by the built-in encoders) — the real-format counterpart of
-    :func:`synth_media_df` for exercising the full decode path at corpus
-    scale. Same schema: (media_id, kind, blob)."""
+    bytes (round-robin png / jpeg / bmp / multi-frame tiff / gif /
+    lossless webp / lossy-VP8 webp, produced by the built-in encoders) —
+    the real-format counterpart of :func:`synth_media_df` for exercising
+    the full decode path at corpus scale. Same schema:
+    (media_id, kind, blob)."""
     from ..functions import codecs, jpeg, webp
 
     schema = T.StructType([
@@ -683,7 +684,7 @@ def synth_real_media_df(spark, n: int, seed: int = 42,
         T.StructField("kind", T.StringType(), False),
         T.StructField("blob", T.BinaryType(), False),
     ])
-    kinds = ("png", "jpeg", "bmp", "tiff", "gif", "webp")
+    kinds = ("png", "jpeg", "bmp", "tiff", "gif", "webp", "webp-vp8")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -715,6 +716,10 @@ def synth_real_media_df(spark, n: int, seed: int = 42,
                         predictor=2 if i % 3 == 1 else 1)
                 elif kind == "gif":
                     blob = codecs.encode_gif([arr], interlace=bool(i % 2))
+                elif kind == "webp-vp8":
+                    # lossy VP8: header-valid stub — D1 metadata sniffs
+                    # real dims; pixel decode is the declared codec seam
+                    blob = webp.encode_webp_vp8_stub(w, h, seed=i)
                 else:
                     blob = webp.encode_webp_lossless(
                         arr, subtract_green=bool(i % 2),

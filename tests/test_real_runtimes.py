@@ -180,3 +180,26 @@ def test_pil_cross_validates_vp8l():
     theirs = buf.getvalue()
     out, orient = webp.decode_webp(theirs)
     assert np.array_equal(out, img) and orient is None
+
+
+def test_real_lossy_vp8_metadata_never_errors():
+    """A REAL lossy-WebP file (PIL/libwebp-encoded VP8) must sniff its
+    true dims through the uncompressed key-frame header — the lossy-WebP
+    metadata path is native even though pixel decode is seamed."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from amazon_textract_transformer_pipeline_spark.functions import codecs
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    img = rng.integers(0, 256, size=(48, 80, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(img).save(buf, format="WEBP", lossless=False,
+                                  quality=80)
+    blob = buf.getvalue()
+    assert codecs.sniff_format(blob) == "webp"
+    dims = codecs.sniff_dimensions(blob)
+    # PIL may wrap lossy frames in VP8X; both paths must yield true dims
+    assert dims == (80, 48)

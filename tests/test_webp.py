@@ -103,3 +103,17 @@ def test_truncation_stays_in_error_channel():
             codecs.builtin_decode_fn(blob[:cut])
         except ValueError:
             pass  # the sanctioned channel; anything else fails the test
+
+
+def test_vp8_stub_sniffs_dims_but_decode_is_seamed():
+    """Lossy VP8: metadata NEVER errors (dims from the uncompressed
+    key-frame header), pixel decode stays the declared codec seam."""
+    from amazon_textract_transformer_pipeline_spark.functions import codecs
+    from amazon_textract_transformer_pipeline_spark.functions.webp import (
+        decode_webp, encode_webp_vp8_stub)
+
+    blob = encode_webp_vp8_stub(640, 480, seed=3)
+    assert codecs.sniff_format(blob) == "webp"
+    assert codecs.sniff_dimensions(blob) == (640, 480)
+    with pytest.raises(ValueError, match="external codec"):
+        decode_webp(blob)
