@@ -1,1 +1,6 @@
-from .synthetic import EXTRACTION_SPEC, make_page_row, synthetic_pages_df  # noqa: F401
+from .synthetic import (  # noqa: F401
+    EXTRACTION_SPEC,
+    make_page_row,
+    skewed_pages_df,
+    synthetic_pages_df,
+)

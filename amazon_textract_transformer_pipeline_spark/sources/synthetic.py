@@ -165,3 +165,46 @@ def synthetic_pages_df(spark: SparkSession, n: int, seed: int = 42,
     rng_df = spark.range(start, start + n, 1,
                          partitions or spark.sparkContext.defaultParallelism)
     return rng_df.mapInPandas(gen, schema=PAGES_INPUT_SCHEMA)
+
+
+def skewed_pages_df(spark: SparkSession, n: int, seed: int = 42,
+                    partitions: int | None = None, hot_frac: float = 0.5,
+                    heavy_lines: int = 120,
+                    n_cold_hosts: int = 200) -> DataFrame:
+    """Hot-host-skewed corpus for the straggler bench (SURVEY §4): the
+    first ``hot_frac`` of rows all live on ONE host (``bighost000`` —
+    sorts before every cold host, so any url-ordered partitioning
+    clusters them) and carry ~``heavy_lines``-line documents (~10× the
+    typical page weight); the rest spread over ``n_cold_hosts`` with
+    normal sizes. Same schema + byte-identical ``text`` oracle as
+    :func:`synthetic_pages_df`."""
+    hot_n = int(n * hot_frac)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                rng = random.Random(
+                    (seed << 34) ^ (i * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFF))
+                if i < hot_n:
+                    host = "bighost000"
+                    pages = [[[rng.choice(_VOCAB)
+                               for _ in range(rng.randint(6, 14))]
+                              for _ in range(heavy_lines)]]
+                else:
+                    host = f"host{rng.randrange(n_cold_hosts):03d}"
+                    pages = _doc_lines(rng, i)
+                rows.append({
+                    "url": f"https://{host}.example/p{i:010d}",
+                    "warc_ts": _EPOCH + _dt.timedelta(seconds=int(i)),
+                    "html": _render_html(rng, pages).encode("utf-8"),
+                    "text": expected_text(pages),
+                    "lang": "en",
+                })
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in PAGES_INPUT_SCHEMA])
+
+    rng_df = spark.range(0, n, 1,
+                         partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, schema=PAGES_INPUT_SCHEMA)

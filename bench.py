@@ -234,6 +234,113 @@ def scaling_evidence(n_docs: int) -> dict:
             "scaling_efficiency": round(eff, 3)}
 
 
+def _partition_walls(df) -> list[tuple[int, float]]:
+    """(rows, wall seconds) per partition of materializing ``df`` — the
+    task-time distribution of the measured stage."""
+    def f(it):
+        t0 = time.time()
+        n = 0
+        for _ in it:
+            n += 1
+        yield (n, time.time() - t0)
+
+    return df.rdd.mapPartitions(f).collect()
+
+
+def skew_evidence(n_docs: int = 30000, parts: int = 16,
+                  hot_frac: float = 0.3) -> dict:
+    """Straggler evidence for the salted repartition (north rule: host-
+    domain skew handled explicitly). Corpus: ``hot_frac`` of pages on
+    ONE host at ~10× page weight (sources/synthetic.skewed_pages_df) —
+    0.3 keeps the heavy partitions a strict minority so the max/median
+    task ratio reads as "stragglers vs typical" (at 0.5, half the
+    clustered tasks are heavy and the median sits on the heavy side).
+    Both arms run the identical parse stage behind an exchange — the
+    only difference is the exchange key:
+
+    * clustered — ``repartitionByRange(url)``: the url-ordered layout a
+      naive crawl-dump split produces; the hot host's heavy rows fill
+      half the partitions, so those tasks run ~10× longer (stragglers);
+    * salted — ``salted_repartition_by_url``: xxhash64(url, salt) spread;
+      every task sees a uniform host mix.
+
+    Reported per arm: stage wall, max/median task wall, and their ratio
+    (the straggler factor). Best-of-2, alternating arms, warm JVM."""
+    from amazon_textract_transformer_pipeline_spark.operators.assembly import (
+        assemble_text,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.frontend import (
+        html_to_words,
+    )
+    from amazon_textract_transformer_pipeline_spark.plans.partitioning import (
+        salted_repartition_by_url,
+    )
+    from amazon_textract_transformer_pipeline_spark.sources import (
+        skewed_pages_df,
+    )
+
+    spark = get_spark("bench-skew", cores=8, shuffle_partitions=parts)
+    pages = skewed_pages_df(spark, n_docs, partitions=parts,
+                            hot_frac=hot_frac)
+
+    def arm(df) -> dict:
+        t0 = time.time()
+        walls = sorted(w for _, w in
+                       _partition_walls(assemble_text(html_to_words(df))))
+        wall = time.time() - t0
+        med = walls[len(walls) // 2]
+        return {"stage_wall_sec": round(wall, 2),
+                "task_max_sec": round(walls[-1], 2),
+                "task_median_sec": round(med, 2),
+                "max_over_median": round(walls[-1] / med, 1) if med else None}
+
+    clustered = pages.repartitionByRange(parts, F.col("url"))
+    salted = salted_repartition_by_url(pages, parts)
+    arm(salted.limit(2000))  # warm JVM/Arrow
+    runs = {"clustered": [], "salted": []}
+    for _ in range(2):  # alternate arms so drift cancels
+        runs["clustered"].append(arm(clustered))
+        runs["salted"].append(arm(salted))
+    best = {k: min(v, key=lambda r: r["stage_wall_sec"])
+            for k, v in runs.items()}
+    spark.stop()
+    out = {"n_docs": n_docs, "partitions": parts, "hot_frac": hot_frac,
+           "clustered": best["clustered"], "salted": best["salted"],
+           "speedup": round(best["clustered"]["stage_wall_sec"]
+                            / best["salted"]["stage_wall_sec"], 2)}
+    skew_path = Path(__file__).parent / "BENCH" / "skew.json"
+    skew_path.parent.mkdir(exist_ok=True)
+    skew_path.write_text(json.dumps(out, indent=1))
+    return out
+
+
+def _skew_section() -> str:
+    """BENCH/skew.json → BASELINE.md section (empty if never measured)."""
+    skew_path = Path(__file__).parent / "BENCH" / "skew.json"
+    if not skew_path.exists():
+        return ""
+    s = json.loads(skew_path.read_text())
+    c, sa = s["clustered"], s["salted"]
+    return f"""
+
+## Host-domain skew / straggler evidence (`python bench.py --skew`)
+
+Corpus: {s['n_docs']} pages, {int(s['hot_frac']*100)}% on ONE host at ~10×
+page weight ({s['partitions']} partitions, local[8]); identical parse stage
+behind an exchange, only the exchange key differs.
+
+| arm | stage wall (s) | task max (s) | task median (s) | max/median |
+|---|---|---|---|---|
+| clustered (repartitionByRange on url — the naive crawl-dump layout) | {c['stage_wall_sec']} | {c['task_max_sec']} | {c['task_median_sec']} | {c['max_over_median']} |
+| salted (salted_repartition_by_url) | {sa['stage_wall_sec']} | {sa['task_max_sec']} | {sa['task_median_sec']} | {sa['max_over_median']} |
+
+Salting collapses the straggler factor {c['max_over_median']}→
+{sa['max_over_median']} and speeds the stage {s['speedup']}× — the measured
+form of the north rule's "salted repartition on url-hash to defeat
+host-domain skew". At cluster scale the clustered arm's tail is what idles
+an entire fleet behind a handful of hot-host executors."""
+
+
 def write_baseline_md(scale: dict, headline: dict) -> None:
     path = Path(__file__).parent / "BENCH" / "BASELINE.md"
     path.parent.mkdir(exist_ok=True)
@@ -295,13 +402,16 @@ front-end work.)
 Reference baseline: the reference architecture is bounded at O(1-10)
 docs/sec per deployment (90-job Textract concurrency cap — BASELINE.md);
 this engine exceeds that by 2-3 orders of magnitude on one node.
-""")
+{_skew_section()}""")
 
 
 def main() -> None:
     if "--extract-only" in sys.argv:
         ix = sys.argv.index("--extract-only")
         _extract_once(int(sys.argv[ix + 1]), int(sys.argv[ix + 2]))
+        return
+    if "--skew" in sys.argv:
+        print(json.dumps({"skew": skew_evidence()}), flush=True)
         return
     scaling = "--scaling" in sys.argv
     sf_name = Path(SF_DIR).name

@@ -89,3 +89,26 @@ def test_words_view_reading_order(spark, doc_words):
     bad = (re_asm.join(hof, "url")
            .filter("relational_text <> extracted_text").count())
     assert bad == 0
+
+
+def test_skewed_corpus_extracts_byte_identical(spark):
+    """The skew-bench corpus obeys the same byte-identical contract as
+    synthetic_pages_df — the straggler evidence measures real extraction,
+    not a degenerate workload."""
+    from amazon_textract_transformer_pipeline_spark.operators.assembly import (
+        assemble_text,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.frontend import (
+        html_to_words,
+    )
+    from amazon_textract_transformer_pipeline_spark.sources import (
+        skewed_pages_df,
+    )
+
+    pages = skewed_pages_df(spark, 60, heavy_lines=30, hot_frac=0.3)
+    out = assemble_text(html_to_words(pages)) \
+        .join(pages.select("url", "text"), "url")
+    assert out.filter("extracted_text <> text").count() == 0
+    assert out.count() == 60
+    hot = out.filter("url LIKE 'https://bighost000%'").count()
+    assert hot == 18  # hot_frac 0.3
