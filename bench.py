@@ -314,6 +314,65 @@ def skew_evidence(n_docs: int = 30000, parts: int = 16,
     return out
 
 
+def recall_evidence() -> dict:
+    """ANN quality tracking (round-4 verdict item #8): IVF recall@10 vs
+    ``nprobe`` with random-sample vs k-means-trained centroids, against
+    the exact brute-force ranking on the sf embeddings table. Persists
+    to BENCH/recall.json; folds into BASELINE.md on --scaling."""
+    spark = get_spark("bench-recall", cores=8)
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = embs.filter("vec_id % 50 = 0")
+    exact = similarity.brute_force_topk(embs, queries, topk=10) \
+        .select("query_id", "cand_id").cache()
+    exact.count()
+    n_cent = 64
+    trained = similarity.kmeans_centroids(embs, n_cent, n_iter=5).cache()
+    trained.count()
+    rows = []
+    for nprobe in (1, 2, 4, 8):
+        for label, cents in (("random", None), ("trained", trained)):
+            approx = similarity.ivf_topk(
+                embs, queries, topk=10, n_centroids=n_cent,
+                nprobe=nprobe, centroids=cents)
+            rows.append({"nprobe": nprobe, "centroids": label,
+                         "recall_at_10": round(
+                             similarity.topk_recall(exact, approx), 3)})
+    spark.stop()
+    out = {"sf": Path(SF_DIR).name, "n_centroids": n_cent,
+           "topk": 10, "rows": rows}
+    p = Path(__file__).parent / "BENCH" / "recall.json"
+    p.parent.mkdir(exist_ok=True)
+    p.write_text(json.dumps(out, indent=1))
+    return out
+
+
+def _recall_section() -> str:
+    p = Path(__file__).parent / "BENCH" / "recall.json"
+    if not p.exists():
+        return ""
+    r = json.loads(p.read_text())
+    by_probe: dict[int, dict[str, float]] = {}
+    for row in r["rows"]:
+        by_probe.setdefault(row["nprobe"], {})[row["centroids"]] = \
+            row["recall_at_10"]
+    lines = "\n".join(
+        f"| {np_} | {v.get('random')} | {v.get('trained')} |"
+        for np_, v in sorted(by_probe.items()))
+    return f"""
+
+## ANN IVF recall curve (`python bench.py --recall`, {r['sf']},
+{r['n_centroids']} centroids, recall@{r['topk']} vs exact brute force)
+
+| nprobe | random centroids | k-means centroids |
+|---|---|---|
+{lines}
+
+Recall rises with nprobe as the index design predicts; the trained
+centroids' advantage depends on how clustered the embedding space is
+(the uniform synthetic table is a worst case for training — real web
+embeddings cluster). Tracked round-over-round like wall time."""
+
+
 def _skew_section() -> str:
     """BENCH/skew.json → BASELINE.md section (empty if never measured)."""
     skew_path = Path(__file__).parent / "BENCH" / "skew.json"
@@ -402,7 +461,7 @@ front-end work.)
 Reference baseline: the reference architecture is bounded at O(1-10)
 docs/sec per deployment (90-job Textract concurrency cap — BASELINE.md);
 this engine exceeds that by 2-3 orders of magnitude on one node.
-{_skew_section()}""")
+{_skew_section()}{_recall_section()}""")
 
 
 def main() -> None:
@@ -412,6 +471,9 @@ def main() -> None:
         return
     if "--skew" in sys.argv:
         print(json.dumps({"skew": skew_evidence()}), flush=True)
+        return
+    if "--recall" in sys.argv:
+        print(json.dumps({"recall": recall_evidence()}), flush=True)
         return
     scaling = "--scaling" in sys.argv
     sf_name = Path(SF_DIR).name
