@@ -380,9 +380,11 @@ def test_gif_errors():
 
 
 def test_synth_real_media_full_decode_path(spark):
-    """Corpus-scale integration: real-format synthetic media (all five
-    container formats, deterministic) → multiframe_thumbnails decodes
-    every record with zero errors; tiff rows yield 2 frames each."""
+    """Corpus-scale integration: real-format synthetic media (all seven
+    container kinds, deterministic) → multiframe_thumbnails decodes every
+    decodable record with zero errors; tiff rows yield 2 frames each;
+    lossy-VP8 rows land in the error column (the declared codec seam),
+    never fail the stage."""
     from amazon_textract_transformer_pipeline_spark.operators.multimodal import (
         multiframe_thumbnails,
         synth_real_media_df,
@@ -390,7 +392,7 @@ def test_synth_real_media_full_decode_path(spark):
 
     media = synth_real_media_df(spark, 40, seed=9).cache()
     assert {r.kind for r in media.select("kind").distinct().collect()} == \
-        {"png", "jpeg", "bmp", "tiff", "gif", "webp"}
+        {"png", "jpeg", "bmp", "tiff", "gif", "webp", "webp-vp8"}
     # determinism
     a = media.selectExpr("media_id", "md5(blob) h").collect()
     b = synth_real_media_df(spark, 40, seed=9) \
@@ -398,11 +400,14 @@ def test_synth_real_media_full_decode_path(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
     thumbs = multiframe_thumbnails(media, size=(16, 16)).cache()
-    assert thumbs.filter("error IS NOT NULL").count() == 0
-    per = {r.media_id: r["count"] for r in
-           thumbs.groupBy("media_id").count().collect()}
     kinds = {r.media_id: r.kind for r in media.select("media_id",
                                                       "kind").collect()}
+    err_ids = {r.media_id for r in
+               thumbs.filter("error IS NOT NULL").collect()}
+    assert err_ids == {m for m, k in kinds.items() if k == "webp-vp8"}
+    per = {r.media_id: r["count"] for r in
+           thumbs.filter("error IS NULL").groupBy("media_id")
+           .count().collect()}
     for mid, nframes in per.items():
         assert nframes == (2 if kinds[mid] == "tiff" else 1), kinds[mid]
 
@@ -439,7 +444,8 @@ def test_decode_metadata_real_formats(spark):
     assert all(m.valid for m in meta.values())
     kinds = {r.media_id: r.kind for r in media.collect()}
     for mid, m in meta.items():
-        assert m.format == kinds[mid]
+        # both webp kinds sniff as the container format "webp"
+        assert m.format == {"webp-vp8": "webp"}.get(kinds[mid], kinds[mid])
         assert m.width > 0 and m.height > 0
     # FAKE1 still wins the header race; garbage still invalid
     extra = spark.createDataFrame(
