@@ -89,7 +89,7 @@ def test_container_and_seams():
     assert np.array_equal(arr, img)
     # lossy VP8 chunk → the documented external-codec seam
     lossy = blob.replace(b"VP8L", b"VP8 ")
-    with pytest.raises(ValueError, match="external codec"):
+    with pytest.raises(ValueError, match="lossy VP8"):
         webp.decode_webp(lossy)
     with pytest.raises(ValueError):
         webp.decode_webp(b"RIFF\x00\x00\x00\x00WAVE")
@@ -115,5 +115,51 @@ def test_vp8_stub_sniffs_dims_but_decode_is_seamed():
     blob = encode_webp_vp8_stub(640, 480, seed=3)
     assert codecs.sniff_format(blob) == "webp"
     assert codecs.sniff_dimensions(blob) == (640, 480)
-    with pytest.raises(ValueError, match="external codec"):
+    with pytest.raises(ValueError, match="lossy VP8"):
         decode_webp(blob)
+
+
+def _has_libwebp() -> bool:
+    from amazon_textract_transformer_pipeline_spark.functions.webp import (
+        _libwebp,
+    )
+
+    return _libwebp() is not None
+
+
+@pytest.mark.skipif(not _has_libwebp(), reason="system libwebp absent")
+def test_libwebp_cross_validates_native_vp8l():
+    """The reference implementation (system libwebp via ctypes) decodes
+    our native VP8L encoder's output byte-exactly — the spec-derived
+    lossless codec agrees with the spec's own implementation."""
+    from amazon_textract_transformer_pipeline_spark.functions.webp import (
+        decode_vp8l, encode_webp_lossless, libwebp_decode_rgba)
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    arr = rng.integers(0, 256, size=(23, 31, 3), dtype=np.uint8)
+    for kw in ({}, {"subtract_green": True}, {"cache_bits": 4},
+               {"rle": True}):
+        blob = encode_webp_lossless(arr, **kw)
+        ours = decode_vp8l(blob[20:] if blob[12:16] == b"VP8L" else blob)
+        theirs = libwebp_decode_rgba(blob)
+        assert np.array_equal(ours, theirs), kw
+
+
+@pytest.mark.skipif(not _has_libwebp(), reason="system libwebp absent")
+def test_lossy_vp8_decodes_through_libwebp_backend():
+    """REAL entropy-coded VP8: libwebp-encoded lossy bytes decode through
+    decode_webp (ctypes backend) with correct dims and small error on a
+    smooth image; sniff_dimensions reads the same dims header-only."""
+    from amazon_textract_transformer_pipeline_spark.functions import codecs
+    from amazon_textract_transformer_pipeline_spark.functions.webp import (
+        decode_webp, libwebp_encode_rgb)
+
+    y, x = np.mgrid[0:48, 0:64]
+    arr = np.stack([(x * 4) % 256, (y * 5) % 256,
+                    ((x + y) * 2) % 256], axis=-1).astype(np.uint8)
+    blob = libwebp_encode_rgb(arr, quality=90.0)
+    assert codecs.sniff_format(blob) == "webp"
+    assert codecs.sniff_dimensions(blob) == (64, 48)
+    rgb, orient = decode_webp(blob)
+    assert rgb.shape == (48, 64, 3) and orient is None
+    assert float(np.mean(np.abs(rgb.astype(int) - arr.astype(int)))) < 12.0
