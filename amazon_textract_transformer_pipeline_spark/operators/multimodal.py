@@ -505,6 +505,11 @@ def auto_decode_fn(blob: bytes):
         return decode_mjpeg_frames(blob, max_frames=1)[0]
     if fmt in ("png", "bmp", "ppm", "pgm", "tiff", "gif"):
         return codecs.builtin_decode_fn(blob)
+    if fmt in ("avif", "heif"):
+        # entropy-coded HEVC/AV1: system-libheif ctypes backend when
+        # present, declared seam ValueError when not
+        from ..functions.heif import heif_decode_rgb
+        return heif_decode_rgb(blob)
     try:
         import PIL.Image  # noqa: F401
     except ImportError:
