@@ -269,6 +269,7 @@ def mp4_sample_tables(blob: bytes) -> list[dict]:
         if stbl is None:
             continue
         fmt = width = height = None
+        config: dict[str, bytes] = {}
         sizes: list[int] = []
         chunk_offsets: list[int] = []
         stsc_runs: list[tuple[int, int]] = []
@@ -281,6 +282,19 @@ def mp4_sample_tables(blob: bytes) -> list[dict]:
                     if b1 - b0 >= 44:  # video sample entry dims
                         width, height = struct.unpack_from(
                             ">HH", blob, b0 + 40)
+                    # codec-config sub-boxes (hvcC/avcC/esds) follow the
+                    # 86-byte video sample entry header
+                    (esize,) = struct.unpack_from(">I", blob, b0 + 8)
+                    eend = min(b0 + 8 + esize, b1)
+                    cpos = b0 + 8 + 86
+                    while cpos + 8 <= eend:
+                        (csz,) = struct.unpack_from(">I", blob, cpos)
+                        if csz < 8 or cpos + csz > eend:
+                            break
+                        ctype = blob[cpos + 4:cpos + 8] \
+                            .decode("ascii", "replace")
+                        config[ctype] = blob[cpos + 8:cpos + csz]
+                        cpos += csz
             elif sb == b"stsz":
                 uniform, count = struct.unpack_from(">II", blob, b0 + 4)
                 if uniform:
@@ -328,7 +342,7 @@ def mp4_sample_tables(blob: bytes) -> list[dict]:
         tracks.append({"handler": handler, "format": fmt,
                        "width": width, "height": height,
                        "samples": samples, "timescale": timescale,
-                       "deltas": deltas})
+                       "deltas": deltas, "config": config})
     return tracks
 
 
@@ -429,3 +443,257 @@ def encode_mjpeg_mp4(jpeg_frames: list[bytes], fps: int = 10,
                 + b"\x00" * 80)
     moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
     return ftyp + mdat + moov
+
+
+# --------------------------------------------------------------------------
+# HEVC (hev1/hvc1) via the system libde265 (ctypes backend)
+# --------------------------------------------------------------------------
+#
+# Entropy-coded video stays out of scope for from-scratch implementation
+# (CABAC + prediction need thousands of exact spec constants); like lossy
+# WebP and HEIC/AVIF, the engine binds to the platform's reference
+# decoder when present: libde265's opaque-pointer C API (push NAL units,
+# pull pictures). Absent library ⇒ the same declared ValueError seam as
+# before. avc1 (H.264) and mp4v remain seams — no system decoder ships
+# here.
+
+_DE265_CACHE: list = []
+
+
+def _libde265():
+    if _DE265_CACHE:
+        return _DE265_CACHE[0]
+    lib = None
+    try:
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("de265") or "libde265.so.0"
+        lib = ctypes.CDLL(name)
+        P = ctypes.c_void_p
+        lib.de265_new_decoder.restype = P
+        lib.de265_new_decoder.argtypes = []
+        lib.de265_push_NAL.restype = ctypes.c_int
+        lib.de265_push_NAL.argtypes = [P, ctypes.c_char_p, ctypes.c_int,
+                                       ctypes.c_longlong, P]
+        lib.de265_flush_data.restype = ctypes.c_int
+        lib.de265_flush_data.argtypes = [P]
+        lib.de265_decode.restype = ctypes.c_int
+        lib.de265_decode.argtypes = [P, ctypes.POINTER(ctypes.c_int)]
+        lib.de265_get_next_picture.restype = P
+        lib.de265_get_next_picture.argtypes = [P]
+        lib.de265_get_image_width.restype = ctypes.c_int
+        lib.de265_get_image_width.argtypes = [P, ctypes.c_int]
+        lib.de265_get_image_height.restype = ctypes.c_int
+        lib.de265_get_image_height.argtypes = [P, ctypes.c_int]
+        lib.de265_get_image_plane.restype = \
+            ctypes.POINTER(ctypes.c_uint8)
+        lib.de265_get_image_plane.argtypes = [
+            P, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+        lib.de265_free_decoder.restype = None
+        lib.de265_free_decoder.argtypes = [P]
+    except (OSError, AttributeError):
+        lib = None
+    _DE265_CACHE.append(lib)
+    return lib
+
+
+def parse_hvcc(body: bytes) -> tuple[int, list[bytes]]:
+    """HEVCDecoderConfigurationRecord → (nal_length_size, parameter-set
+    NALs in VPS/SPS/PPS array order)."""
+    if len(body) < 23:
+        raise ValueError("MP4: truncated hvcC record")
+    length_size = (body[21] & 3) + 1
+    nals: list[bytes] = []
+    pos = 23
+    for _ in range(body[22]):
+        if pos + 3 > len(body):
+            raise ValueError("MP4: truncated hvcC NAL array")
+        pos += 1  # completeness + NAL type
+        (n,) = struct.unpack_from(">H", body, pos)
+        pos += 2
+        for _ in range(n):
+            if pos + 2 > len(body):
+                raise ValueError("MP4: truncated hvcC NAL")
+            (ln,) = struct.unpack_from(">H", body, pos)
+            pos += 2
+            nals.append(body[pos:pos + ln])
+            pos += ln
+    return length_size, nals
+
+
+def split_length_prefixed_nals(sample: bytes, length_size: int):
+    pos = 0
+    while pos + length_size <= len(sample):
+        ln = int.from_bytes(sample[pos:pos + length_size], "big")
+        pos += length_size
+        if ln <= 0 or pos + ln > len(sample):
+            break
+        yield sample[pos:pos + ln]
+        pos += ln
+
+
+def yuv420_to_rgb(y: "np.ndarray", u: "np.ndarray",
+                  v: "np.ndarray") -> "np.ndarray":
+    """Full-range BT.601 with nearest-neighbor chroma upsampling — the
+    exact conversion libheif applies to the same bitstream (verified
+    byte-identical in the cross-test)."""
+    import numpy as np
+
+    yf = y.astype(np.float64)
+    uf = u.repeat(2, 0).repeat(2, 1)[:y.shape[0], :y.shape[1]] \
+        .astype(np.float64) - 128.0
+    vf = v.repeat(2, 0).repeat(2, 1)[:y.shape[0], :y.shape[1]] \
+        .astype(np.float64) - 128.0
+    rgb = np.stack([yf + 1.402 * vf,
+                    yf - 0.344136 * uf - 0.714136 * vf,
+                    yf + 1.772 * uf], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype("uint8")
+
+
+def decode_hevc_frames(blob: bytes, max_frames: int | None = None):
+    """hev1/hvc1 MP4 → [((h, w, 3) uint8 RGB, None)] via libde265:
+    parameter sets from the hvcC record, samples as length-prefixed
+    NALs, full-range BT.601 conversion, crop to declared track dims.
+    ValueError when the library is absent (the declared seam) or the
+    track/bitstream is malformed."""
+    import ctypes
+
+    import numpy as np
+
+    lib = _libde265()
+    if lib is None:
+        raise ValueError(
+            "MP4: HEVC (hev1/hvc1) needs an external decoder "
+            "(libde265 seam)")
+    tracks = [t for t in mp4_sample_tables(blob)
+              if (t["format"] or "") in ("hev1", "hvc1")]
+    if not tracks:
+        raise ValueError("MP4: no HEVC video track")
+    trk = tracks[0]
+    hvcc = trk["config"].get("hvcC")
+    if hvcc is None:
+        raise ValueError("MP4: HEVC track has no hvcC record")
+    length_size, params = parse_hvcc(hvcc)
+    ctx = lib.de265_new_decoder()
+    frames = []
+    try:
+        for nal in params:
+            lib.de265_push_NAL(ctx, nal, len(nal), 0, None)
+        n_samples = 0
+        for off, size in trk["samples"]:
+            if max_frames is not None and n_samples >= max_frames:
+                break
+            if off + size > len(blob):
+                continue
+            for nal in split_length_prefixed_nals(
+                    blob[off:off + size], length_size):
+                lib.de265_push_NAL(ctx, nal, len(nal), 0, None)
+            n_samples += 1
+        lib.de265_flush_data(ctx)
+        more = ctypes.c_int(1)
+        w0, h0 = trk["width"] or None, trk["height"] or None
+        for _ in range(16 * max(n_samples, 1) + 64):  # hard bound
+            lib.de265_decode(ctx, ctypes.byref(more))
+            img = lib.de265_get_next_picture(ctx)
+            if img:
+                stride = ctypes.c_int()
+                w = lib.de265_get_image_width(img, 0)
+                h = lib.de265_get_image_height(img, 0)
+                if not (0 < w <= 16384 and 0 < h <= 16384):
+                    raise ValueError("MP4: implausible HEVC dims")
+                planes = []
+                for ch, (ph, pw) in enumerate(
+                        ((h, w), (h // 2, w // 2), (h // 2, w // 2))):
+                    ptr = lib.de265_get_image_plane(
+                        img, ch, ctypes.byref(stride))
+                    if not ptr:
+                        raise ValueError("MP4: HEVC plane missing")
+                    flat = np.ctypeslib.as_array(
+                        ptr, shape=(ph * stride.value,)).copy()
+                    planes.append(flat.reshape(ph, stride.value)[:, :pw])
+                rgb = yuv420_to_rgb(*planes)
+                # conformance crop: declared track dims, top-left origin
+                rgb = rgb[:h0 or h, :w0 or w]
+                frames.append((rgb, None))
+                if max_frames is not None and len(frames) >= max_frames:
+                    break
+            elif not more.value:
+                break
+    finally:
+        lib.de265_free_decoder(ctx)
+    if not frames:
+        raise ValueError("MP4: HEVC bitstream produced no pictures")
+    return frames
+
+
+def encode_hevc_mp4(arr, quality: int = 90) -> bytes:
+    """Real hev1 MP4 fixture: the HEVC intra bitstream comes from a
+    libheif/x265 HEIC encode; its hvcC record and length-prefixed image
+    NALs are rewrapped as a one-sample video track. ValueError when
+    libheif is absent."""
+    from .heif import heif_encode_rgb
+
+    heic = heif_encode_rgb(arr, fmt="heic", quality=quality)
+    i = heic.find(b"hvcC")
+    if i < 4:
+        raise ValueError("MP4: HEIC encode produced no hvcC")
+    (size,) = struct.unpack_from(">I", heic, i - 4)
+    hvcc_body = heic[i + 4:i - 4 + size]
+    m = heic.find(b"mdat")
+    if m < 4:
+        raise ValueError("MP4: HEIC encode produced no mdat")
+    (msz,) = struct.unpack_from(">I", heic, m - 4)
+    sample = heic[m + 4:m - 4 + msz]
+    h, w = arr.shape[:2]
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def fbox(btype: bytes, body: bytes) -> bytes:
+        return box(btype, b"\x00\x00\x00\x00" + body)
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = box(b"mdat", sample)
+    data_off = len(ftyp) + 8
+    hvcc_box = box(b"hvcC", hvcc_body)
+    entry = (struct.pack(">I", 86 + len(hvcc_box)) + b"hev1"
+             + b"\x00" * 6 + struct.pack(">H", 1)
+             + b"\x00" * 16 + struct.pack(">HH", w, h)
+             + struct.pack(">II", 0x00480000, 0x00480000)
+             + b"\x00" * 4 + struct.pack(">H", 1)
+             + b"\x04HEVC" + b"\x00" * 27
+             + struct.pack(">Hh", 24, -1) + hvcc_box)
+    stsd = fbox(b"stsd", struct.pack(">I", 1) + entry)
+    stts = fbox(b"stts", struct.pack(">III", 1, 1, 100))
+    stsc = fbox(b"stsc", struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = fbox(b"stsz", struct.pack(">III", 0, 1, len(sample)))
+    stco = fbox(b"stco", struct.pack(">II", 1, data_off))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = fbox(b"dref", struct.pack(">I", 1)
+                + struct.pack(">I", 12) + b"url " + b"\x00\x00\x00\x01")
+    dinf = box(b"dinf", dref)
+    vmhd = box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    hdlr = fbox(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+    mdhd = fbox(b"mdhd", b"\x00" * 8 + struct.pack(">II", 1000, 100)
+                + b"\x55\xc4\x00\x00")
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+               + struct.pack(">II", w << 16, h << 16))
+    mvhd = fbox(b"mvhd", b"\x00" * 8 + struct.pack(">II", 1000, 100)
+                + b"\x00" * 80)
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+def decode_video_frames(blob: bytes, max_frames: int | None = None):
+    """Codec-dispatching MP4 frame decode: Motion-JPEG natively,
+    hev1/hvc1 via the libde265 backend, everything else the declared
+    external-decoder ValueError."""
+    tracks = [t for t in mp4_sample_tables(blob)
+              if t["handler"] == _VIDEO_HANDLER or t["width"]]
+    fmt = (tracks[0]["format"] or "") if tracks else ""
+    if fmt in ("hev1", "hvc1"):
+        return decode_hevc_frames(blob, max_frames=max_frames)
+    return decode_mjpeg_frames(blob, max_frames=max_frames)

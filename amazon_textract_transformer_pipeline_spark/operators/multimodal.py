@@ -501,8 +501,8 @@ def auto_decode_fn(blob: bytes):
         except NotImplementedError as e:
             raise ValueError(str(e)) from e
     if fmt == "mp4":  # still-image view of a video = its first frame
-        from ..functions.av import decode_mjpeg_frames
-        return decode_mjpeg_frames(blob, max_frames=1)[0]
+        from ..functions.av import decode_video_frames
+        return decode_video_frames(blob, max_frames=1)[0]
     if fmt in ("png", "bmp", "ppm", "pgm", "tiff", "gif"):
         return codecs.builtin_decode_fn(blob)
     if fmt in ("avif", "heif"):
@@ -551,10 +551,11 @@ def multiframe_thumbnails(media: DataFrame, size=(224, 224),
                         frames = codecs.decode_gif_frames(
                             blob, max_frames=max_frames)
                     elif fmt == "mp4":
-                        # native for Motion-JPEG tracks; other codecs
-                        # raise into the error column (decoder seam)
-                        from ..functions.av import decode_mjpeg_frames
-                        frames = decode_mjpeg_frames(
+                        # native for Motion-JPEG tracks, libde265 for
+                        # hev1/hvc1; other codecs raise into the error
+                        # column (decoder seam)
+                        from ..functions.av import decode_video_frames
+                        frames = decode_video_frames(
                             blob, max_frames=max_frames)
                     else:
                         frames = [auto_decode_fn(blob)]
