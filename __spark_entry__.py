@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher/C4 pre-training quality filter rules (exact values)
         "gopher_filters": Q.q_gopher_filters,
         "gopher_repetition": Q.q_gopher_repetition,
+        "c4_filters": Q.q_c4_filters,
     }
 
 
@@ -491,6 +492,13 @@ FROM lines GROUP BY i"""
     )
     gsel = ", ".join(f"{x} AS {k}" for k, x in gopher_exprs("text", "duck").items())
     sqls["gopher_filters"] = f"SELECT doc_id, {gsel} FROM documents"
+
+    # c4_filters oracle: same one-builder-both-dialects pattern
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        c4_exprs,
+    )
+    csel = ", ".join(f"{x} AS {k}" for k, x in c4_exprs("text", "duck").items())
+    sqls["c4_filters"] = f"SELECT doc_id, {csel} FROM documents"
 
     # gopher_repetition oracle: duplicate-line HOFs inline; top n-gram char
     # fractions as staged CTEs (explode grams once per n — DuckDB would

@@ -536,6 +536,18 @@ def q_gopher_filters(spark, sf_dir) -> DataFrame:
     return with_gopher_filters(docs.select("doc_id", "text")).drop("text")
 
 
+def q_c4_filters(spark, sf_dir) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over the
+    documents table: per-line retention (terminal punctuation, ≥5 words,
+    no 'javascript'), the retained text, sentence count, and the page
+    verdict — exact against the same expression builder's DuckDB
+    dialect. Map-side projection, zero shuffle."""
+    from .operators.textstats import with_c4_filters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_c4_filters(docs.select("doc_id", "text")).drop("text")
+
+
 def q_gopher_repetition(spark, sf_dir) -> DataFrame:
     """Gopher repetition-removal signals: duplicate-line fractions
     (map-side HOFs) + top-2/3-gram character fractions (one (doc, gram)

@@ -435,3 +435,75 @@ def with_repetition_filters(docs: DataFrame, text_col: str = "text",
             out = out.withColumn(col, F.coalesce(col, F.lit(0.0)))
             verdict = verdict & (F.col(col) <= cap)
     return out.withColumn("repetition_pass", verdict)
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level filters (Raffel et al. 2020 §2.2, the C4 cleaning rules) —
+# the line-grain companion to the Gopher document-grain rules above. One
+# expression builder, both engine dialects, map-side only.
+# ---------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+#: terminal punctuation a retained line must end with (C4 keeps quoted
+#: sentence ends too)
+C4_TERMINALS = [".", "!", "?", '"']
+
+
+def c4_exprs(text: str, engine: str) -> dict[str, str]:
+    """C4 cleaning signals: per-line retention (ends in terminal
+    punctuation AND ≥5 words AND no 'javascript'), the retained text,
+    and the page verdict (≥3 sentences in retained text, no curly brace,
+    no lorem ipsum). Sentence count is pinned to one deterministic
+    definition — occurrences of '.', '!', '?' in the retained text (an
+    upper bound on true sentences; both engines count identically)."""
+    size = "size" if engine == "spark" else "len"
+    if engine == "spark":
+        lines = f"split({text}, '\\n')"
+        ends = " OR ".join(
+            f"endswith(rtrim(l), '{t}')".replace('"', '\\"')
+            if t != '"' else 'endswith(rtrim(l), \'"\')'
+            for t in C4_TERMINALS)
+        wc = "size(filter(split(l, '\\\\s+'), w -> w <> ''))"
+        kept = (f"filter({lines}, l -> ({ends}) "
+                f"AND {wc} >= {C4_MIN_LINE_WORDS} "
+                f"AND NOT contains(lower(l), 'javascript'))")
+        kept_text = f"concat_ws('\\n', {kept})"
+    else:
+        lines = f"string_split({text}, chr(10))"
+        ends = " OR ".join(
+            f"ends_with(rtrim(l), '{t}')" if t != '"'
+            else "ends_with(rtrim(l), '\"')"
+            for t in C4_TERMINALS)
+        wc = ("len(list_filter(string_split_regex(l, '\\s+'), "
+              "w -> w != ''))")
+        kept = (f"list_filter({lines}, l -> ({ends}) "
+                f"AND {wc} >= {C4_MIN_LINE_WORDS} "
+                f"AND NOT contains(lower(l), 'javascript'))")
+        # DuckDB array_to_string([]) is NULL; Spark concat_ws is '' —
+        # coalesce pins the empty-page case to Spark's semantics
+        kept_text = f"coalesce(array_to_string({kept}, chr(10)), '')"
+    sentences = " + ".join(
+        _char_count(kept_text, t, engine) for t in (".", "!", "?"))
+    out = {
+        "c4_kept_text": kept_text,
+        "c4_n_kept_lines": f"cast({size}({kept}) as bigint)",
+        "c4_n_sentences": f"cast({sentences} as bigint)",
+    }
+    out["c4_pass"] = (
+        f"(({sentences}) >= {C4_MIN_SENTENCES})"
+        f" AND NOT contains({text}, '{{}}')".replace("{}", "{")
+        + f" AND NOT contains(lower({text}), 'lorem ipsum')"
+    )
+    return out
+
+
+def with_c4_filters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the C4 line-retention columns + page verdict. Map-side
+    projection only — like the Gopher verdict this runs BEFORE any
+    shuffle-bearing stage at corpus scale; ``c4_kept_text`` is the
+    cleaned training text for retained pages."""
+    out = docs
+    for name, e in c4_exprs(text_col, "spark").items():
+        out = out.withColumn(name, F.expr(e))
+    return out

@@ -405,3 +405,24 @@ def test_incremental_update_prev_chain():
             + f"startxref\n{xoff}\n%%EOF\n".encode())
     assert pdf.pdf_extract_text(out) == "patched text"
     assert pdf.pdf_meta(out)["n_pages"] == 1
+
+
+def test_encrypted_corruption_never_escapes_valueerror():
+    """Random corruption of encrypted PDFs stays inside the sanctioned
+    ValueError channel (or degrades to fewer pages/empty text) — never
+    an uncontrolled exception from the crypto/parse path."""
+    import random
+
+    rng = random.Random(99)
+    for enc in ("rc4", "aes"):
+        blob = pdf.write_pdf(PAGES[:2], encrypt=enc, compress=True)
+        for _ in range(40):
+            bad = bytearray(blob)
+            for _ in range(rng.randint(1, 6)):
+                bad[rng.randrange(len(bad))] = rng.randrange(256)
+            try:
+                m = pdf.pdf_meta(bytes(bad))
+                assert isinstance(m["n_pages"], int)
+                pdf.pdf_extract_text(bytes(bad))
+            except ValueError:
+                pass  # the sanctioned channel

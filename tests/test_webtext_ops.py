@@ -413,3 +413,31 @@ def test_dup_paragraph_signals(spark):
     assert out[0].dup_para_frac == 0.333333
     assert out[0].dup_line_frac == 0.333333  # lines split on single \n too
     assert out[1].dup_para_frac == 0.0 and out[1].dup_line_frac == 0.0
+
+
+def test_c4_line_filters(spark):
+    """C4 §2.2 line retention: terminal punctuation, ≥5 words, no
+    'javascript'; page verdict needs ≥3 sentences and no brace/lorem."""
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        with_c4_filters,
+    )
+
+    good = ("This is a proper first sentence here.\n"
+            "Another full sentence follows right after that one!\n"
+            "And a third sentence completes the page?\n"
+            "short line.\n"                     # < 5 words → dropped
+            "no terminal punctuation on this line\n"
+            "Please enable javascript to view this page today.")
+    docs = spark.createDataFrame(
+        [(0, good),
+         (1, "One sentence only but long enough to keep."),  # < 3 sentences
+         (2, good + " { code }"),                            # brace
+         (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in with_c4_filters(docs).collect()}
+    assert out[0].c4_pass and out[0].c4_n_kept_lines == 3
+    assert "javascript" not in out[0].c4_kept_text.lower()
+    assert "short line." not in out[0].c4_kept_text
+    assert not out[1].c4_pass and out[1].c4_n_kept_lines == 1
+    assert not out[2].c4_pass        # curly brace kills the page
+    assert not out[3].c4_pass and out[3].c4_kept_text == ""
