@@ -126,6 +126,26 @@ GOPHER_MIN_ALPHA_FRAC = 0.8
 GOPHER_MIN_STOP_HITS = 2
 
 
+def _ws_set(engine: str) -> str:
+    """SQL expression for the pinned whitespace-trim set: space, tab,
+    CR, NBSP. The engines' DEFAULT trims diverge (measured: DuckDB
+    strips NBSP but not tab; Spark strips ASCII space only), so every
+    trim in the quality-filter builders names this set explicitly —
+    one definition, both dialects, NBSP-padded lines behave
+    identically."""
+    return ("concat(' ', char(9), char(13), char(160))"
+            if engine == "spark"
+            else "(' ' || chr(9) || chr(13) || chr(160))")
+
+
+def _trim(x: str, engine: str, side: str = "BOTH") -> str:
+    s = _ws_set(engine)
+    if engine == "spark":
+        return f"trim({side} {s} FROM {x})"
+    fn = {"BOTH": "trim", "TRAILING": "rtrim", "LEADING": "ltrim"}[side]
+    return f"{fn}({x}, {s})"
+
+
 def _char_count(text: str, ch: str, engine: str) -> str:
     lit = "'" + ch.replace("'", "''") + "'"
     return (f"(length({text}) - length(replace({text}, {lit}, '')))"
@@ -141,27 +161,29 @@ def gopher_exprs(text: str, engine: str) -> dict[str, str]:
     size = "size" if engine == "spark" else "len"
     n = f"{size}({ws})"
     dbl = "double"
+    tr = _trim("l", engine)
+    rt = _trim("l", engine, "TRAILING")
     if engine == "spark":
-        lines = f"filter(split({text}, '\\n'), l -> trim(l) <> '')"
+        lines = f"filter(split({text}, '\\n'), l -> {tr} <> '')"
         alpha = f"size(filter({ws}, w -> w rlike '[A-Za-z]'))"
         bullets = (f"size(filter({lines}, l -> "
-                   f"startswith(trim(l), '-') OR startswith(trim(l), '*') "
-                   f"OR startswith(trim(l), '•')))")
+                   f"startswith({tr}, '-') OR startswith({tr}, '*') "
+                   f"OR startswith({tr}, '•')))")
         ellip = (f"size(filter({lines}, l -> "
-                 f"endswith(rtrim(l), '...') OR endswith(rtrim(l), '…')))")
+                 f"endswith({rt}, '...') OR endswith({rt}, '…')))")
         stop_hits = (f"size(filter({ws}, w -> "
                      f"array_contains({_arr(GOPHER_STOPWORDS, engine)}, "
                      f"lower(w))))")
     else:
         lines = (f"list_filter(string_split({text}, chr(10)), "
-                 f"l -> trim(l) != '')")
+                 f"l -> {tr} != '')")
         alpha = (f"len(list_filter({ws}, "
                  f"w -> regexp_matches(w, '[A-Za-z]')))")
         bullets = (f"len(list_filter({lines}, l -> "
-                   f"starts_with(trim(l), '-') OR starts_with(trim(l), '*') "
-                   f"OR starts_with(trim(l), '•')))")
+                   f"starts_with({tr}, '-') OR starts_with({tr}, '*') "
+                   f"OR starts_with({tr}, '•')))")
         ellip = (f"len(list_filter({lines}, l -> "
-                 f"ends_with(rtrim(l), '...') OR ends_with(rtrim(l), "
+                 f"ends_with({rt}, '...') OR ends_with({rt}, "
                  f"'…')))")
         stop_hits = (f"len(list_filter({ws}, w -> "
                      f"list_contains({_arr(GOPHER_STOPWORDS, engine)}, "
@@ -248,9 +270,10 @@ def _dup_unit_exprs(text: str, engine: str, sep_desc: str,
     ``<p>_frac`` = duplicates / units, ``<p>_char_frac`` = characters in
     duplicate occurrences / characters in all units. Empty/whitespace-
     only units are dropped first."""
+    tr = _trim("l", engine)
     if engine == "spark":
         units = (f"filter(transform(split({text}, '{sep_desc}'), "
-                 f"l -> trim(l)), l -> l <> '')")
+                 f"l -> {tr}), l -> l <> '')")
         dist = f"array_distinct({units})"
         chars = ("aggregate(transform({a}, l -> cast(length(l) as bigint)), "
                  "cast(0 as bigint), (a, x) -> a + x)")
@@ -259,7 +282,7 @@ def _dup_unit_exprs(text: str, engine: str, sep_desc: str,
         dsep = "chr(10)" if sep_desc == "\\n" else "chr(10) || chr(10)"
         units = (f"list_filter(list_transform("
                  f"string_split({text}, {dsep}),"
-                 f" l -> trim(l)), l -> l != '')")
+                 f" l -> {tr}), l -> l != '')")
         dist = f"list_distinct({units})"
         chars = ("CAST(coalesce(list_sum(list_transform({a}, "
                  "l -> len(l)::BIGINT)), 0) AS BIGINT)")
@@ -458,11 +481,12 @@ def c4_exprs(text: str, engine: str) -> dict[str, str]:
     definition — occurrences of '.', '!', '?' in the retained text (an
     upper bound on true sentences; both engines count identically)."""
     size = "size" if engine == "spark" else "len"
+    rt = _trim("l", engine, "TRAILING")
     if engine == "spark":
         lines = f"split({text}, '\\n')"
         ends = " OR ".join(
-            f"endswith(rtrim(l), '{t}')".replace('"', '\\"')
-            if t != '"' else 'endswith(rtrim(l), \'"\')'
+            f"endswith({rt}, '{t}')" if t != '"'
+            else f'endswith({rt}, \'"\')'
             for t in C4_TERMINALS)
         wc = "size(filter(split(l, '\\\\s+'), w -> w <> ''))"
         kept = (f"filter({lines}, l -> ({ends}) "
@@ -472,8 +496,8 @@ def c4_exprs(text: str, engine: str) -> dict[str, str]:
     else:
         lines = f"string_split({text}, chr(10))"
         ends = " OR ".join(
-            f"ends_with(rtrim(l), '{t}')" if t != '"'
-            else "ends_with(rtrim(l), '\"')"
+            f"ends_with({rt}, '{t}')" if t != '"'
+            else f"ends_with({rt}, '\"')"
             for t in C4_TERMINALS)
         wc = ("len(list_filter(string_split_regex(l, '\\s+'), "
               "w -> w != ''))")

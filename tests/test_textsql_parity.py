@@ -113,3 +113,65 @@ def test_cosine_parity(sdocs, duck):
              X.cosine("embedding", "embedding", "spark"),
              X.cosine("embedding", "embedding", "duck"),
              table="embeddings", key="vec_id", limit=60)
+
+
+def test_quality_filter_exprs_parity_adversarial(spark):
+    """Every gopher/repetition/C4 expression column agrees across engines
+    on adversarial strings the synthetic corpus never produces — quotes,
+    backslashes, CRLF, unicode, ellipsis spellings, braces, mixed-case
+    'javascript', tabs, long tokens, empties."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        c4_exprs,
+        gopher_exprs,
+        repetition_exprs,
+    )
+
+    rng = random.Random(7)
+    crafted = [
+        "", " ", "\t\t", "\n\n\n", "a", 'He said "stop now please today."',
+        "back\\slash and 'quotes' everywhere.",
+        "line one.\r\nline two with five words!\nline three?",
+        "café naïve 日本語 Ωmega π≈3.14 emoji 😀 done.",
+        "dots... and … both spellings of ellipsis...",
+        "curly { brace } page body here.",
+        "Please enable JavaScript to continue reading this.",
+        "JAVASCRIPT required for this page to work properly.",
+        "x" * 500 + " tiny.",
+        "repeat me " * 40 + "end.",
+        "- bullet one\n* bullet two\n• bullet three",
+        "ends with quote \"",
+        "tab\tseparated\twords\there\ttoo.",
+        "ünïcödé wörds with ümläüts everywhere ärü ökö.",
+    ]
+    vocab = ["the", "word.", "étude", "x!", "{", "…", "...", '"',
+             "\\", "javascript", "Ok?", "12%", "a,b", " "]
+    for _ in range(30):
+        n = rng.randint(0, 40)
+        sep = rng.choice([" ", "\n", "  ", " \n "])
+        crafted.append(sep.join(rng.choice(vocab) for _ in range(n)))
+    pdf_in = pd.DataFrame({"doc_id": range(len(crafted)), "text": crafted})
+    spark.createDataFrame(pdf_in).createOrReplaceTempView("adv_docs")
+    con = duckdb.connect()
+    con.register("adv_docs", pdf_in)
+
+    for builder in (gopher_exprs, repetition_exprs, c4_exprs):
+        se = builder("text", "spark")
+        de = builder("text", "duck")
+        for col in se:
+            s = {r[0]: r[1] for r in spark.sql(
+                f"SELECT doc_id, {se[col]} AS v FROM adv_docs").collect()}
+            d = {r[0]: r[1] for r in con.sql(
+                f"SELECT doc_id, {de[col]} AS v FROM adv_docs").fetchall()}
+            for k in s:
+                sv, dv = s[k], d[k]
+                if isinstance(sv, float):
+                    assert dv is not None and abs(sv - dv) < 1e-9, \
+                        (builder.__name__, col, k, sv, dv, crafted[k][:60])
+                else:
+                    assert sv == dv, \
+                        (builder.__name__, col, k, sv, dv, crafted[k][:60])
