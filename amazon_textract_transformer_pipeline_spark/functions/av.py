@@ -457,12 +457,7 @@ def encode_mjpeg_mp4(jpeg_frames: list[bytes], fps: int = 10,
 # before. avc1 (H.264) and mp4v remain seams — no system decoder ships
 # here.
 
-_DE265_CACHE: list = []
-
-
-def _libde265():
-    if _DE265_CACHE:
-        return _DE265_CACHE[0]
+def _probe_libde265():
     lib = None
     try:
         import ctypes
@@ -494,8 +489,19 @@ def _libde265():
         lib.de265_free_decoder.argtypes = [P]
     except (OSError, AttributeError):
         lib = None
-    _DE265_CACHE.append(lib)
     return lib
+
+
+def _libde265():
+    """System libde265 under the deployment backend policy
+    (functions/backends.py): auto-probe / require / forced-off."""
+    from .backends import resolve_backend
+
+    return resolve_backend("libde265", _probe_libde265)
+
+
+def libde265_available() -> bool:
+    return _libde265() is not None
 
 
 def parse_hvcc(body: bytes) -> tuple[int, list[bytes]]:

@@ -29,16 +29,11 @@ _RGB, _ILV = 1, 10       # heif_colorspace_RGB, heif_chroma_interleaved_RGB
 _CH_ILV = 10             # heif_channel_interleaved
 _FMT = {"heic": 1, "avif": 4}   # heif_compression_{HEVC,AV1}
 
-_CACHE: list = []  # [lib_or_None] once probed
-
-
 class _HeifError(Exception):
     pass
 
 
-def _libheif():
-    if _CACHE:
-        return _CACHE[0]
+def _probe_libheif():
     lib = None
     try:
         import ctypes
@@ -91,8 +86,19 @@ def _libheif():
         lib._HeifError = HeifError  # stash for callers
     except (OSError, AttributeError):
         lib = None
-    _CACHE.append(lib)
     return lib
+
+
+def _libheif():
+    """System libheif under the deployment backend policy
+    (functions/backends.py): auto-probe / require / forced-off."""
+    from .backends import resolve_backend
+
+    return resolve_backend("libheif", _probe_libheif)
+
+
+def libheif_available() -> bool:
+    return _libheif() is not None
 
 
 def _check(err, what: str) -> None:

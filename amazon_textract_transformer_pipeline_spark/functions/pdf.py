@@ -542,9 +542,12 @@ class PdfDocument:
             obj = (d, raw) if raw else (
                 d.get("__value__") if set(d) == {"__value__"} else d)
             # direct objects: decrypt strings + stream payloads (ObjStm
-            # members are NOT re-decrypted — their container was)
+            # members are NOT re-decrypted — their container was). The
+            # object key salts in the REAL generation from the 'N G obj'
+            # header — incremental-update PDFs carry gen > 0 objects whose
+            # keys differ from the gen-0 derivation.
             if self._enc is not None and num != self._enc_num:
-                obj = self._enc.decrypt_object(obj, num)
+                obj = self._enc.decrypt_object(obj, num, int(m.group(2)))
         else:  # in an object stream
             obj = self._load_from_objstm(ent[1], ent[2])
         self._cache[num] = obj
@@ -928,22 +931,22 @@ class _StdSecurity:
         return _aes_cbc_encrypt(k, data, iv) if self.aes \
             else _rc4(k, data)
 
-    def decrypt_object(self, obj, num: int):
+    def decrypt_object(self, obj, num: int, gen: int = 0):
         """Strings (recursively) and stream payloads; numbers/names/refs
         pass through. ObjStm members must NOT come through here (the
         container stream was already decrypted)."""
         if isinstance(obj, tuple):
             d, raw = obj
-            return (self._walk(d, num), self.decrypt_bytes(raw, num))
-        return self._walk(obj, num)
+            return (self._walk(d, num, gen), self.decrypt_bytes(raw, num, gen))
+        return self._walk(obj, num, gen)
 
-    def _walk(self, v, num: int):
+    def _walk(self, v, num: int, gen: int = 0):
         if isinstance(v, bytes):
-            return self.decrypt_bytes(v, num)
+            return self.decrypt_bytes(v, num, gen)
         if isinstance(v, dict):
-            return {k: self._walk(x, num) for k, x in v.items()}
+            return {k: self._walk(x, num, gen) for k, x in v.items()}
         if isinstance(v, list):
-            return [self._walk(x, num) for x in v]
+            return [self._walk(x, num, gen) for x in v]
         return v
 
 

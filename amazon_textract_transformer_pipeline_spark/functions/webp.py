@@ -937,27 +937,34 @@ def encode_webp_vp8_stub(w: int, h: int, seed: int = 0) -> bytes:
 # above) and cross-validates against this backend byte-exactly whenever
 # the library is present.
 
-_LIBWEBP_CACHE: list = []  # [lib_or_None] once probed
+def _probe_libwebp():
+    lib = None
+    try:
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("webp") or "libwebp.so.7"
+        lib = ctypes.CDLL(name)
+        lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.WebPFree.argtypes = [ctypes.c_void_p]
+    except (OSError, AttributeError):
+        lib = None
+    return lib
 
 
 def _libwebp():
-    if not _LIBWEBP_CACHE:
-        lib = None
-        try:
-            import ctypes
-            import ctypes.util
+    """System libwebp under the deployment backend policy
+    (functions/backends.py): auto-probe / require / forced-off."""
+    from .backends import resolve_backend
 
-            name = ctypes.util.find_library("webp") or "libwebp.so.7"
-            lib = ctypes.CDLL(name)
-            lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
-            lib.WebPDecodeRGBA.argtypes = [
-                ctypes.c_char_p, ctypes.c_size_t,
-                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
-            lib.WebPFree.argtypes = [ctypes.c_void_p]
-        except (OSError, AttributeError):
-            lib = None
-        _LIBWEBP_CACHE.append(lib)
-    return _LIBWEBP_CACHE[0]
+    return resolve_backend("libwebp", _probe_libwebp)
+
+
+def libwebp_available() -> bool:
+    return _libwebp() is not None
 
 
 def libwebp_decode_rgba(blob: bytes) -> np.ndarray:

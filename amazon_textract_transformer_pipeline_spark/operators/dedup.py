@@ -280,6 +280,146 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
     return pairs.filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
 
 
+def connected_components(pairs: DataFrame, a_col: str = "a",
+                         b_col: str = "b",
+                         max_iter: int = 20) -> DataFrame:
+    """Distributed connected components over an undirected edge list —
+    the cluster-resolution step every published dedup pipeline (Gopher,
+    C4, RefinedWeb) runs after near-dup pair generation.
+
+    Algorithm: the alternating large-star/small-star method (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond") — each
+    round rewires every node's larger neighbors (large-star) then its
+    smaller neighborhood (small-star) toward the local minimum.
+    Connectivity is preserved by both steps and the fixed point is one
+    star per component rooted at its minimum id, so the answer falls
+    straight out of the final edge list. Convergence is O(log² n) rounds
+    worst-case and ~3-5 rounds in practice at any scale (the paper runs
+    10^12-edge graphs); ``max_iter`` = 20 is a safety bound far above
+    it, and the loop exits when the edge set reaches the fixed point,
+    detected by an order-independent fingerprint (count + sum + min +
+    max of a 64-bit edge hash over the *materialized* checkpoint — one
+    cheap 4-value aggregate job, no data collect). A fingerprint
+    collision between two *different* consecutive edge sets would exit
+    one round early; that needs equal count AND equal hash sum AND
+    equal extremes across a changing set (≪ 2^-64 per round) and is the
+    accepted trade for not diffing the full edge set each round.
+
+    Scale shape (the 100-TB audit): per round, two hash aggregates on
+    node id + two joins on the same key — all map-side-combinable, no
+    driver collect anywhere (the per-round fingerprint is a 2-value
+    aggregate, the k-means-loop pattern). ``localCheckpoint`` between
+    rounds truncates lineage exactly as the k-means fit does. Skew note:
+    a mega-cluster's root accumulates its members at the END (that IS
+    the output), but intermediate rounds only ever key by node id, so no
+    single key sees more than a node's degree — bounded by LSH
+    ``max_bucket`` upstream.
+
+    Returns (node BIGINT, component BIGINT) for every node that appears
+    in ``pairs``; component = min node id of its connected component.
+    Isolated docs (no pairs) are absent — callers union them back (see
+    :func:`resolve_near_dup_clusters`).
+    """
+    e = (
+        pairs.select(F.col(a_col).cast("bigint").alias("u"),
+                     F.col(b_col).cast("bigint").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"),
+                F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig: tuple | None = None
+    for _ in range(max_iter):
+        # -- large-star: every strictly-larger neighbor of u rewires to
+        #    min(Γ(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn")) \
+            .select("u", F.least("mn", "u").alias("m"))
+        e = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: u and its strictly-smaller neighbors rewire to
+        #    the smallest of them
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        smaller = sym.filter(F.col("v") < F.col("u"))
+        mins = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            smaller.join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"),
+                    F.least("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)   # truncate lineage per round
+        )
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+            F.min(F.xxhash64("u", "v")).alias("lo"),
+            F.max(F.xxhash64("u", "v")).alias("hi")).collect()[0]
+        sig = tuple(sig_row)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixed point: edges are (member u, root v) stars; roots self-map
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"),
+                        F.col("v").alias("component")))
+        .distinct()
+    )
+
+
+def resolve_near_dup_clusters(docs: DataFrame, pairs: DataFrame,
+                              id_col: str = "doc_id",
+                              quality_col: str | None = None) -> DataFrame:
+    """Cluster resolution + canonical-keeper selection over verified
+    near-dup ``pairs`` (from :func:`near_duplicates` /
+    :func:`lsh_candidate_pairs` / :func:`simhash_near_duplicates`).
+
+    Every document gets a row: members of a pair-connected component
+    share ``cluster_id`` (= min member id); isolated docs are their own
+    singleton cluster. The keeper is the cluster's canonical survivor —
+    highest ``quality_col`` when given (ties toward min id), else plain
+    min id — and ``.filter("is_keeper")`` is the deduplicated corpus.
+
+    Scale: one CC run over the pair graph (see
+    :func:`connected_components`), one left join back to the corpus on
+    ``id_col``, one per-cluster max-of-struct aggregate. The keeper
+    aggregate keys by cluster_id; a pathological mega-cluster (all-spam)
+    is already capped upstream by ``max_bucket``.
+    """
+    cc = connected_components(pairs)
+    base = docs.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        *([F.col(quality_col).cast("double").alias("_q")]
+          if quality_col else [F.lit(0.0).alias("_q")]))
+    with_comp = base.join(
+        cc.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce("component", F.col(id_col))) \
+     .drop("component")
+    # keeper: max (quality, -id) — i.e. best quality, ties to min id
+    keep = (
+        with_comp.groupBy("cluster_id")
+        .agg(F.max(F.struct(F.col("_q").alias("q"),
+                            (-F.col(id_col)).alias("nid"))).alias("k"),
+             F.count(F.lit(1)).alias("cluster_size"))
+        .select("cluster_id", (-F.col("k.nid")).alias("keeper_id"),
+                "cluster_size")
+    )
+    return (
+        with_comp.join(keep, "cluster_id")
+        .select(id_col, "cluster_id", "cluster_size", "keeper_id",
+                (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"))
+    )
+
+
 def embedding_near_duplicates(embs: DataFrame, threshold: float | None = 0.98,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding") -> DataFrame:

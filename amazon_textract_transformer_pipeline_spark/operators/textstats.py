@@ -212,7 +212,9 @@ def gopher_exprs(text: str, engine: str) -> dict[str, str]:
         "ellipsis_line_frac": ellipsis_frac,
         "alpha_word_frac": alpha_frac,
         "gopher_stop_hits": f"cast({stop_hits} as bigint)",
-        "has_curly_brace": f"contains({text}, '{{}}')".replace("{}", "{"),
+        # either brace kind — a page containing only '}' is still code-like
+        "has_curly_brace": ("(contains(" + text + ", '{') OR contains("
+                            + text + ", '}'))"),
         "has_lorem_ipsum": f"contains(lower({text}), 'lorem ipsum')",
     }
     out["gopher_pass"] = (
@@ -514,10 +516,14 @@ def c4_exprs(text: str, engine: str) -> dict[str, str]:
         "c4_n_kept_lines": f"cast({size}({kept}) as bigint)",
         "c4_n_sentences": f"cast({sentences} as bigint)",
     }
+    # C4 drops pages containing a curly brace of EITHER kind (Raffel et
+    # al. §2.2 — code-bearing pages open or close braces)
+    open_b, close_b = "NOT contains(" + text + ", '{')", \
+        "NOT contains(" + text + ", '}')"
     out["c4_pass"] = (
         f"(({sentences}) >= {C4_MIN_SENTENCES})"
-        f" AND NOT contains({text}, '{{}}')".replace("{}", "{")
-        + f" AND NOT contains(lower({text}), 'lorem ipsum')"
+        f" AND {open_b} AND {close_b}"
+        f" AND NOT contains(lower({text}), 'lorem ipsum')"
     )
     return out
 

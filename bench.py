@@ -226,8 +226,9 @@ def scaling_evidence(n_docs: int) -> dict:
                 results[cores] = run_once(cores, timeout_s=leg_timeout)
                 break
             except subprocess.TimeoutExpired:
-                log(f"scaling: {cores} cores attempt {attempt} hung >900s "
-                    "(worker-socket deadlock), retrying in a fresh tree")
+                log(f"scaling: {cores} cores attempt {attempt} hung "
+                    f">{leg_timeout}s (worker-socket deadlock), retrying "
+                    "in a fresh tree")
         else:
             raise RuntimeError(f"scaling run at {cores} cores hung 3×")
         log(f"scaling: {cores} cores -> {results[cores]}")

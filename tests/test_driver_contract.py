@@ -34,7 +34,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         else:
-            df[c] = pd.to_numeric(df[c], errors="ignore")
+            # errors="ignore" is deprecated; non-object dtypes here are
+            # already numeric/bool/datetime — coerce only when numeric-like
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                pass
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 

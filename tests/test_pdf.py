@@ -223,6 +223,41 @@ def test_standard_security_handler_decrypts(enc, kw):
     assert b"(H\xe9llo" not in blob and "Héllo".encode("cp1252") not in blob
 
 
+def test_generation_salted_object_keys():
+    """Incremental-update PDFs carry objects with generation > 0; the
+    per-object key salts in the REAL generation from the 'N G obj' header
+    (round-5 ADVICE: gen was hardcoded 0). Re-encrypt one content stream
+    under gen 3, patch its header — extraction must stay byte-identical."""
+    import re
+
+    blob = pdf.write_pdf(PAGES, encrypt="rc4")
+    doc = pdf.PdfDocument(blob)
+    enc = doc._enc
+    assert enc is not None
+    # the object key really depends on gen
+    ct = enc.encrypt_bytes(b"secret", 7, gen=3)
+    assert enc.decrypt_bytes(ct, 7, 3) == b"secret"
+    assert enc.decrypt_bytes(ct, 7, 0) != b"secret"
+
+    # end-to-end: renumber one stream object to gen 3 and re-encrypt its
+    # payload with the gen-3 key ('0'→'3' keeps every offset intact)
+    m = re.search(rb"(\d+) 0 obj\s*<<[^>]*/Length (\d+)[^>]*>>\s*stream\r?\n",
+                  blob)
+    assert m, "no stream object found"
+    num, length = int(m.group(1)), int(m.group(2))
+    start = m.end()
+    payload = blob[start:start + length]
+    plain = enc.decrypt_bytes(payload, num, 0)
+    ct3 = enc.encrypt_bytes(plain, num, 3)
+    assert len(ct3) == length  # RC4 is length-preserving
+    hdr_at = m.start()
+    patched = (blob[:hdr_at]
+               + blob[hdr_at:m.end()].replace(
+                   b"%d 0 obj" % num, b"%d 3 obj" % num, 1)
+               + ct3 + blob[start + length:])
+    assert pdf.pdf_extract_text(patched) == WANT_TEXT
+
+
 def test_true_user_password_stays_metadata_only():
     """A /U that doesn't verify against the empty user password (i.e. a
     real user password) must leave the doc metadata-only — ciphertext is

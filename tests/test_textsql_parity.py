@@ -139,6 +139,8 @@ def test_quality_filter_exprs_parity_adversarial(spark):
         "café naïve 日本語 Ωmega π≈3.14 emoji 😀 done.",
         "dots... and … both spellings of ellipsis...",
         "curly { brace } page body here.",
+        "only a close brace } appears in this sentence today.",
+        "only an open brace { appears in this sentence today.",
         "Please enable JavaScript to continue reading this.",
         "JAVASCRIPT required for this page to work properly.",
         "x" * 500 + " tiny.",

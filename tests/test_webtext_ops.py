@@ -432,7 +432,8 @@ def test_c4_line_filters(spark):
         [(0, good),
          (1, "One sentence only but long enough to keep."),  # < 3 sentences
          (2, good + " { code }"),                            # brace
-         (3, "")],
+         (3, ""),
+         (4, good + " stray } only")],      # close brace alone still drops
         "doc_id long, text string")
     out = {r.doc_id: r for r in with_c4_filters(docs).collect()}
     assert out[0].c4_pass and out[0].c4_n_kept_lines == 3
@@ -441,3 +442,4 @@ def test_c4_line_filters(spark):
     assert not out[1].c4_pass and out[1].c4_n_kept_lines == 1
     assert not out[2].c4_pass        # curly brace kills the page
     assert not out[3].c4_pass and out[3].c4_kept_text == ""
+    assert not out[4].c4_pass        # '}' of either kind (Raffel §2.2)
