@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": Q.q_lsh_buckets,
         "lsh_candidates": Q.q_lsh_candidates,
         "near_duplicates": Q.q_near_duplicates,
+        "dedup_clusters": Q.q_dedup_clusters,
         "ngram_jaccard_consecutive": Q.q_ngram_jaccard_consecutive,
         "simhash": Q.q_simhash,
         "simhash_hamming_consecutive": Q.q_simhash_hamming_consecutive,
@@ -223,6 +224,69 @@ scored AS (
   JOIN shd y ON y.doc_id = c.b
 )
 SELECT a, b, round(jac, 6) AS jaccard FROM scored WHERE jac >= 0.0""",
+        # cluster resolution over the LSH pair graph of the variant-planted
+        # corpus: recursive transitive closure (min reachable node = the
+        # cluster id), then the quality keeper (max text length, ties to
+        # min id) — the DuckDB replay of connected_components +
+        # resolve_near_dup_clusters.
+        "dedup_clusters": f"""
+WITH RECURSIVE corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zq variant tail'
+  FROM documents WHERE doc_id % 5 < 3
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+    {X.minhash_signature(X.shingles(dw, 3, 'duck'), 16, 'duck')} AS minhash
+  FROM corpus
+),
+banded AS (
+  SELECT doc_id, {X.band_hashes('minhash', 8, 2, 'duck')} AS bands FROM sig
+),
+b AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(bands, 1) - 1 AS band_ix,
+         unnest(bands) AS band_hash
+  FROM banded
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band_ix, band_hash) AS sz FROM b
+),
+small AS (SELECT * FROM sized WHERE sz <= 1000),
+cands AS MATERIALIZED (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM small l JOIN small r
+    ON l.band_ix = r.band_ix AND l.band_hash = r.band_hash
+    AND l.doc_id < r.doc_id
+),
+edges AS (
+  SELECT a AS u, b AS v FROM cands UNION SELECT b, a FROM cands
+),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach(root, node) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT r.root, e.v FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, min(root) AS component FROM reach GROUP BY node),
+membered AS (
+  SELECT c.doc_id, coalesce(p.component, c.doc_id) AS cluster_id,
+         len(c.text)::DOUBLE AS q
+  FROM corpus c LEFT JOIN comp p ON p.node = c.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id, q,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY q DESC, doc_id ASC) AS rn
+  FROM membered
+),
+keepers AS (
+  SELECT cluster_id, doc_id AS keeper_id FROM ranked WHERE rn = 1
+)
+SELECT r.doc_id, r.cluster_id, r.cluster_size, k.keeper_id,
+       (r.doc_id = k.keeper_id) AS is_keeper
+FROM ranked r JOIN keepers k ON k.cluster_id = r.cluster_id""",
         # MATERIALIZED: DuckDB inlines CTEs textually; without it the
         # shingle expression recomputes 4x inside intersect/union (measured
         # ~20 s at sf0.01; ~4x faster materialized)

@@ -236,6 +236,31 @@ def q_near_duplicates(spark, sf_dir) -> DataFrame:
     return nd.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _cluster_corpus(spark, sf_dir) -> DataFrame:
+    """Documents + planted near-identical variants (doc_id + 100000, same
+    text plus a 3-word tail) — guarantees the LSH pair graph has real
+    multi-member components whatever the base corpus looks like. The
+    construction is plain SQL replayed verbatim by the DuckDB oracle."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    variants = docs.filter("doc_id % 5 < 3").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("text || ' zq variant tail'").alias("text"))
+    return docs.union(variants)
+
+
+def q_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Near-dup cluster resolution end-to-end: LSH candidate pairs →
+    distributed connected components (alternating large-star/small-star)
+    → per-cluster canonical keeper (best quality = text length, ties to
+    min id). Exact against a DuckDB recursive-CTE transitive closure —
+    the corpus-scale twin of the G4 box-merge semantics."""
+    corpus = _cluster_corpus(spark, sf_dir) \
+        .withColumn("_q", F.length("text").cast("double"))
+    pairs = dedup.lsh_candidate_pairs(corpus, k=16, n_bands=8)
+    return dedup.resolve_near_dup_clusters(corpus, pairs,
+                                           quality_col="_q")
+
+
 def q_ngram_jaccard_consecutive(spark, sf_dir) -> DataFrame:
     d = _docs(spark, sf_dir)
     a = d.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))

@@ -297,11 +297,12 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     worst-case and ~3-5 rounds in practice at any scale (the paper runs
     10^12-edge graphs); ``max_iter`` = 20 is a safety bound far above
     it, and the loop exits when the edge set reaches the fixed point,
-    detected by an order-independent fingerprint (count + sum + min +
-    max of a 64-bit edge hash over the *materialized* checkpoint — one
-    cheap 4-value aggregate job, no data collect). A fingerprint
+    detected by an order-independent fingerprint (count + bit-xor + min
+    + max of a 64-bit edge hash over the *materialized* checkpoint —
+    one cheap 4-value aggregate job, no data collect; xor, not sum,
+    because ANSI mode overflow-checks BIGINT sums). A fingerprint
     collision between two *different* consecutive edge sets would exit
-    one round early; that needs equal count AND equal hash sum AND
+    one round early; that needs equal count AND equal hash xor AND
     equal extremes across a changing set (≪ 2^-64 per round) and is the
     accepted trade for not diffing the full edge set each round.
 
@@ -360,7 +361,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
         )
         sig_row = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("h"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # overflow-free
             F.min(F.xxhash64("u", "v")).alias("lo"),
             F.max(F.xxhash64("u", "v")).alias("hi")).collect()[0]
         sig = tuple(sig_row)
