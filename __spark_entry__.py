@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": Q.q_lsh_candidates,
         "near_duplicates": Q.q_near_duplicates,
         "dedup_clusters": Q.q_dedup_clusters,
+        "decontaminate": Q.q_decontaminate,
+        "pii_scrub": Q.q_pii_scrub,
         "ngram_jaccard_consecutive": Q.q_ngram_jaccard_consecutive,
         "simhash": Q.q_simhash,
         "simhash_hamming_consecutive": Q.q_simhash_hamming_consecutive,
@@ -224,6 +226,31 @@ scored AS (
   JOIN shd y ON y.doc_id = c.b
 )
 SELECT a, b, round(jac, 6) AS jaccard FROM scored WHERE jac >= 0.0""",
+        # benchmark decontamination: planted eval-set blocklist (words 6-26
+        # of every 17th doc), distinct 13-gram hash semi-join, per-doc hit
+        # counts — the dedup.decontamination_flags replay.
+        "decontaminate": f"""
+WITH bl AS MATERIALIZED (
+  SELECT doc_id, array_to_string(list_slice({dw}, 6, 26), ' ') AS text
+  FROM documents WHERE doc_id % 17 = 3
+),
+bsh AS MATERIALIZED (
+  SELECT DISTINCT {X.h64('s', 'duck')} AS gh FROM (
+    SELECT unnest({X.shingles(X.words('text', 'duck'), 13, 'duck')}) AS s
+    FROM bl)
+),
+csh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, {X.h64('s', 'duck')} AS gh FROM (
+    SELECT doc_id, unnest({X.shingles(dw, 13, 'duck')}) AS s
+    FROM documents)
+),
+hits AS (
+  SELECT c.doc_id, count(*) AS n
+  FROM csh c JOIN bsh b ON b.gh = c.gh GROUP BY c.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+       coalesce(h.n, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""",
         # cluster resolution over the LSH pair graph of the variant-planted
         # corpus: recursive transitive closure (min reachable node = the
         # cluster id), then the quality keeper (max text length, ties to
@@ -556,6 +583,20 @@ FROM lines GROUP BY i"""
     )
     gsel = ", ".join(f"{x} AS {k}" for k, x in gopher_exprs("text", "duck").items())
     sqls["gopher_filters"] = f"SELECT doc_id, {gsel} FROM documents"
+
+    # pii_scrub oracle: same builder + same deterministic pii-laden text
+    from amazon_textract_transformer_pipeline_spark.driver_queries import (
+        pii_text_sql,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.webclean import (
+        pii_exprs,
+    )
+    psel = ", ".join(f"{x} AS {k}" for k, x in pii_exprs("text", "duck").items())
+    sqls["pii_scrub"] = f"""
+WITH p AS MATERIALIZED (
+  SELECT doc_id, {pii_text_sql('duck')} AS text FROM documents
+)
+SELECT doc_id, {psel} FROM p"""
 
     # c4_filters oracle: same one-builder-both-dialects pattern
     from amazon_textract_transformer_pipeline_spark.operators.textstats import (

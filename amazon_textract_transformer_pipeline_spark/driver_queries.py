@@ -261,6 +261,51 @@ def q_dedup_clusters(spark, sf_dir) -> DataFrame:
                                            quality_col="_q")
 
 
+def q_decontaminate(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination over a planted eval set: blocklist =
+    every 17th doc's words 6-26 (contiguous → its 13-grams all appear in
+    the source doc), flags computed by the bucketed gram-hash semi-join.
+    Exact against the same shingle/hash construction in DuckDB."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ws = X.words("text", "spark")
+    bl = docs.filter("doc_id % 17 = 3").select(
+        "doc_id", F.expr(f"concat_ws(' ', slice({ws}, 6, 21))").alias("text"))
+    return dedup.decontamination_flags(docs, bl)
+
+
+def pii_text_sql(engine: str) -> str:
+    """Deterministic PII-laden text from doc_id (both engines): email,
+    IPv4, IPv6, phone (every 3rd doc), 9+-digit account id, then the
+    real document text as a tail so arbitrary content is exercised."""
+    s = "string" if engine == "spark" else "varchar"
+    did = f"cast(doc_id as {s})"
+    return (
+        f"concat('Contact user', {did}, '@mail',"
+        f" cast(doc_id % 7 as {s}), '.example.com or 10.',"
+        f" cast(doc_id % 200 as {s}), '.0.', cast(doc_id % 250 as {s}),"
+        f" ' ping fe80:a:b:', cast(doc_id % 9 as {s}),"
+        f" CASE WHEN doc_id % 3 = 0 THEN concat(' call +1 (555) ',"
+        f" cast(100 + doc_id % 900 as {s}), '-',"
+        f" cast(1000 + doc_id % 9000 as {s})) ELSE ' no phone' END,"
+        f" ' acct ', cast(100000000 + doc_id * 37 as {s}), ' :: ', text)"
+    )
+
+
+def q_pii_scrub(spark, sf_dir) -> DataFrame:
+    """PII redaction signals + scrubbed text over the deterministically
+    PII-laden corpus — per-category counts under the sequential-scrub
+    semantics, exact against the same expression builder in DuckDB.
+    Map-side projection, zero shuffle."""
+    from .operators.webclean import pii_exprs
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(pii_text_sql("spark")).alias("text"))
+    out = d
+    for name, e in pii_exprs("text", "spark").items():
+        out = out.withColumn(name, F.expr(e))
+    return out.drop("text")
+
+
 def q_ngram_jaccard_consecutive(spark, sf_dir) -> DataFrame:
     d = _docs(spark, sf_dir)
     a = d.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))

@@ -280,6 +280,71 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
     return pairs.filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
 
 
+#: benchmark-decontamination n-gram width (the 13-gram standard used by
+#: GPT-3 appendix C / Gopher §A.3-style eval-overlap filtering)
+DECONTAM_NGRAM = 13
+
+
+def decontamination_flags(docs: DataFrame, blocklist: DataFrame,
+                          n: int = DECONTAM_NGRAM, min_hits: int = 1,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    ``min_hits`` distinct word ``n``-grams with any blocklist (eval-set)
+    document — the overlap filter every released training set runs
+    before shipping (13-gram standard).
+
+    Returns (id_col, n_contaminated_grams BIGINT, contaminated BOOL) for
+    EVERY corpus doc. Blocklist docs shorter than ``n`` words fall back
+    to their whole text as one shingle (textsql.shingles semantics), so
+    short eval prompts still match verbatim copies.
+
+    Scale shape: blocklist shingles reduce to a DISTINCT 64-bit hash set
+    (one aggregate); the probe is a single shuffle join on the uniform
+    gram hash — corpus-side shingles stream through map-side, and AQE
+    broadcasts the blocklist side when it measures small (typical: eval
+    sets are thousands of docs vs a 10^12-doc corpus — never force the
+    broadcast, a full eval *suite* can be millions of grams). No
+    all-pairs anything; same machinery as MinHash (:func:`shingle_rows`
+    + the portable hash)."""
+    bad = (
+        shingle_rows(blocklist, n, id_col, text_col)
+        .select(F.expr(X.h64("shingle", "spark")).alias("gh"))
+        .distinct()
+    )
+    probe = (
+        shingle_rows(docs, n, id_col, text_col)
+        .select(id_col, F.expr(X.h64("shingle", "spark")).alias("gh"))
+        .distinct()
+    )
+    hits = (
+        probe.join(bad, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select(id_col).join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_grams", F.lit(0)).cast("bigint")
+            .alias("n_contaminated_grams"))
+        .withColumn("contaminated",
+                    F.col("n_contaminated_grams") >= min_hits)
+    )
+
+
+def decontaminate(docs: DataFrame, blocklist: DataFrame,
+                  n: int = DECONTAM_NGRAM, min_hits: int = 1,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The acted-on form: corpus minus contaminated docs (anti-join on
+    the flag relation), schema-preserving."""
+    flags = decontamination_flags(docs, blocklist, n, min_hits,
+                                  id_col, text_col)
+    return docs.join(flags.filter("contaminated").select(id_col),
+                     id_col, "left_anti")
+
+
 def connected_components(pairs: DataFrame, a_col: str = "a",
                          b_col: str = "b",
                          max_iter: int = 20) -> DataFrame:

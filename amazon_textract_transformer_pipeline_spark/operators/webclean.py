@@ -84,6 +84,81 @@ def with_canonical_url(df: DataFrame, url_col: str = "url",
     return df.withColumn(out_col, F.expr(canonical_url_sql(url_col, "spark")))
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (the standard C4-descendant pre-release pass): map-side
+# redaction + per-category counts, one expression builder emitting both
+# engine dialects (the c4_exprs pattern) so the driver gate checks exact
+# values. Regex subset chosen to behave identically under Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repeats, \b, \d,
+# non-capturing groups, greedy-only quantifiers — no backrefs, no
+# lookaround, no overlapping alternation prefixes.
+# ---------------------------------------------------------------------------
+
+#: (name, pattern, replacement token) — applied IN ORDER, each on the
+#: text as scrubbed by the previous categories (emails before ip/id so
+#: their digits never double-count; ipv6 before ipv4 so mapped forms
+#: aren't split; phones before bare id runs).
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email",
+     r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv6",
+     r"\b(?:[0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}\b",
+     "<IP6>"),
+    ("ipv4",
+     r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+     "<IP>"),
+    ("phone",
+     r"(?:\+\d{1,2}[ .-]?)?(?:\(\d{3}\)[ .-]?|\d{3}[ .-])\d{3}[ .-]?\d{4}\b",
+     "<PHONE>"),
+    ("id_number",
+     r"\b\d{9,}\b",
+     "<ID>"),
+]
+
+
+def _rx(pat: str, engine: str) -> str:
+    """Regex pattern as a SQL string literal. Spark string literals
+    process backslash escapes (escapedStringLiterals=false default) so
+    backslashes double; DuckDB standard strings pass them through."""
+    if engine == "spark":
+        pat = pat.replace("\\", "\\\\")
+    return "'" + pat.replace("'", "''") + "'"
+
+
+def pii_exprs(text: str, engine: str) -> dict[str, str]:
+    """PII signals + scrubbed text. ``n_<cat>`` counts matches of each
+    category on the text AS SCRUBBED by the preceding categories (the
+    sequential semantics both engines replay identically);
+    ``text_scrubbed`` is the fully redacted text; ``pii_total`` /
+    ``has_pii`` summarize. Pure map-side projection — zero shuffle; at
+    corpus scale this composes with the Gopher/C4 filters in the same
+    codegen stage before any shuffle-bearing op."""
+    size = "size" if engine == "spark" else "len"
+    g = ", 'g'" if engine == "duck" else ""
+    out: dict[str, str] = {}
+    state = text
+    totals = []
+    for name, pat, token in PII_RULES:
+        lit = _rx(pat, engine)
+        out[f"n_{name}"] = (f"cast({size}(regexp_extract_all({state}, "
+                            f"{lit}, 0)) as bigint)")
+        totals.append(out[f"n_{name}"])
+        state = f"regexp_replace({state}, {lit}, '{token}'{g})"
+    out["text_scrubbed"] = state
+    out["pii_total"] = "cast(" + " + ".join(totals) + " as bigint)"
+    out["has_pii"] = "(" + " + ".join(totals) + ") > 0"
+    return out
+
+
+def with_pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-category PII counts + the scrubbed-text column."""
+    out = docs
+    for name, e in pii_exprs(text_col, "spark").items():
+        out = out.withColumn(name, F.expr(e))
+    return out
+
+
 def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 2,
                              words_per_line: int = 12,
                              id_col: str = "doc_id",

@@ -130,6 +130,9 @@ def test_quality_filter_exprs_parity_adversarial(spark):
         gopher_exprs,
         repetition_exprs,
     )
+    from amazon_textract_transformer_pipeline_spark.operators.webclean import (
+        pii_exprs,
+    )
 
     rng = random.Random(7)
     crafted = [
@@ -149,6 +152,13 @@ def test_quality_filter_exprs_parity_adversarial(spark):
         "ends with quote \"",
         "tab\tseparated\twords\there\ttoo.",
         "ünïcödé wörds with ümläüts everywhere ärü ökö.",
+        "mail a.b_c%d+e@sub.domain-x.co.uk and üser@host.org now.",
+        "ips 10.0.0.1 999.999.999.999 1.2.3 256.300.1.2.3 done",
+        "v6 fe80:a:b:1 2001:0db8:85a3:0:0:8a2e:0370:7334 ab:cd end",
+        "call +1 (555) 123-4567 or 555.123.4567 or (555)1234567 x",
+        "ids 12345678 123456789 98765432109876 and 123-45-6789.",
+        "mixed user@10.0.0.1 and <EMAIL> token already here.",
+        "phone-ish dates 2020 12 31 and 555 123 4567890 runs",
     ]
     vocab = ["the", "word.", "étude", "x!", "{", "…", "...", '"',
              "\\", "javascript", "Ok?", "12%", "a,b", " "]
@@ -161,7 +171,7 @@ def test_quality_filter_exprs_parity_adversarial(spark):
     con = duckdb.connect()
     con.register("adv_docs", pdf_in)
 
-    for builder in (gopher_exprs, repetition_exprs, c4_exprs):
+    for builder in (gopher_exprs, repetition_exprs, c4_exprs, pii_exprs):
         se = builder("text", "spark")
         de = builder("text", "duck")
         for col in se:
