@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": Q.q_ann_ivf_topk,
         # text stats
         "text_stats": Q.q_text_stats,
+        "langid_scores": Q.q_langid_scores,
         # geometric label join (G1/G2)
         "g1_word_labels": Q.q_g1_word_labels,
         # reference aggregation shapes (§2.9-§2.10)
@@ -463,6 +464,25 @@ SELECT doc_id,
        {bpe_token_count_sql('text', 'duck')} AS n_tokens_est,
        {langid_sql('text', 'duck')} AS lang_guess
 FROM documents"""
+
+    # langid_scores oracle: score columns projected once in a CTE, argmax
+    # CASE over the column names (inlining scores into the CASE would
+    # recompute each k× textually on DuckDB)
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        LANGID2_ORDER,
+        langid_argmax_case,
+        langid_score_exprs,
+    )
+    lsel = ", ".join(f"{x} AS {k}"
+                     for k, x in langid_score_exprs("text", "duck").items())
+    score_cols = ", ".join(f"score_{lg}" for lg in LANGID2_ORDER)
+    sqls["langid_scores"] = f"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id, {lsel} FROM documents
+)
+SELECT doc_id, {score_cols},
+       {langid_argmax_case()} AS lang_pred
+FROM s"""
 
     # webclean oracles: same messy-url construction + the dual-engine
     # canonicalizer; boilerplate removal replayed relationally.

@@ -383,6 +383,16 @@ def q_text_stats(spark, sf_dir) -> DataFrame:
         "stopword_ratio", "n_tokens_est", "lang_guess")
 
 
+def q_langid_scores(spark, sf_dir) -> DataFrame:
+    """Scored language ID: per-language literal-gram linear scores +
+    the argmax prediction, exact against the same plan-time-literal
+    profile table in DuckDB. Map-side projection, zero shuffle."""
+    from .operators.textstats import with_langid
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return with_langid(docs).drop("text")
+
+
 # ---------------------------------------------------------------------------
 # G1 overlap labeling on portable synthetic geometry
 # ---------------------------------------------------------------------------
