@@ -1171,20 +1171,37 @@ def _parse_cmap_tounicode(data: bytes) -> tuple[dict[int, str], int]:
     return mapping, max(code_bytes, 1)
 
 
+class UnsupportedCMapError(Exception):
+    """A Type0 font names a predefined CMap whose code→Unicode mapping
+    this engine does not carry (legacy multi-byte families: GBK-EUC-H,
+    90ms-RKSJ-H, the UTF16 families, embedded CMap streams) and the font
+    has no /ToUnicode to decode through. Deliberately NOT a ValueError:
+    the content interpreter's per-operator guard swallows ValueError, and
+    this condition must escape to the document level so the record lands
+    in the error column (observable degradation) instead of silently
+    emitting mojibake — the round-5 VERDICT finding. Converted to the
+    standard per-record ValueError at the pdf_extract_words boundary."""
+
+
 class FontInfo(NamedTuple):
     code_bytes: int                    # 1 (simple) or 2 (Type0/CID)
     to_unicode: dict[int, str] | None  # priority-1 decode map
     enc_map: dict[int, str] | None     # priority-2 simple-font encoding
     widths: dict[int, float]           # code → advance, glyph units /1000
     default_width: float               # glyph units /1000
+    bad_cmap: str | None = None        # unsupported predefined CMap name
 
     def decode(self, code: int) -> str:
         if self.to_unicode is not None and code in self.to_unicode:
             return self.to_unicode[code]
         if self.enc_map is not None and code in self.enc_map:
             return self.enc_map[code]
+        if self.bad_cmap is not None:
+            raise UnsupportedCMapError(self.bad_cmap)
         if self.code_bytes == 1:
             return chr(code)  # latin-1 identity — pre-font behavior
+        if 0xD800 <= code <= 0xDFFF:
+            return "�"  # lone UTF-16 surrogate half is not a scalar
         return chr(code) if code <= 0x10FFFF else "�"
 
     def width(self, code: int) -> float:
@@ -1263,10 +1280,30 @@ def _build_font(doc: PdfDocument, fdict) -> FontInfo:
                 if isinstance(dw, (int, float)):
                     default_w = float(dw)
                 widths = _parse_cid_widths(doc, d0.get("W"))
-            # /Encoding /Identity-H ⇒ code == CID; other CMaps are out of
-            # scope — 2-byte decode still applies (the common real case)
+            # /Encoding dispositions (ISO 32000 9.7.5):
+            # * Identity-H/V — code == CID, 2-byte decode (the common
+            #   real case; /ToUnicode still takes priority when present);
+            # * the Adobe UniXX-UCS2-H/V families — the 2-byte code IS
+            #   the UCS-2 code point, so chr(code) decodes it exactly
+            #   (surrogate halves guard to U+FFFD);
+            # * any other named predefined CMap (GBK-EUC-H, 90ms-RKSJ-H,
+            #   UTF16 families, …) or an embedded CMap stream — the code
+            #   mapping is unknown here; WITHOUT a /ToUnicode the font is
+            #   marked bad_cmap and the first show-string through it
+            #   raises UnsupportedCMapError → per-record error column,
+            #   never silent mojibake (round-5 VERDICT #1).
+            enc = doc.resolve(fdict.get("Encoding"))
+            bad_cmap = None
+            if to_uni is None:
+                if isinstance(enc, str):
+                    supported = (enc in ("Identity-H", "Identity-V")
+                                 or enc.endswith(("-UCS2-H", "-UCS2-V")))
+                    if not supported:
+                        bad_cmap = enc
+                elif isinstance(enc, tuple):
+                    bad_cmap = "<embedded CMap stream>"
             return FontInfo(max(code_bytes, 2), to_uni, None, widths,
-                            default_w)
+                            default_w, bad_cmap=bad_cmap)
 
         # simple font
         enc_map: dict[int, str] | None = None
@@ -1532,6 +1569,10 @@ def pdf_extract_words(blob: bytes) -> list[dict]:
         return out
     except ValueError:
         raise
+    except UnsupportedCMapError as e:
+        # observable degradation: the record errors instead of emitting
+        # wrong bytes for a CMap this engine can't decode
+        raise ValueError(f"PDF: unsupported predefined CMap {e}") from e
     except Exception as e:  # hostile input: any parser failure → ValueError
         raise ValueError(f"PDF: malformed structure ({e!r})") from e
 
