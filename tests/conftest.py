@@ -12,6 +12,11 @@ from amazon_textract_transformer_pipeline_spark.session import get_spark  # noqa
 TESTDATA = Path("/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running crash-consistency / e2e tests")
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("attp-tests", cores=8, shuffle_partitions=8)
