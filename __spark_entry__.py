@@ -113,6 +113,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web-corpus cleaning (canonical urls, boilerplate-line removal)
         "canonical_urls": Q.q_canonical_urls,
         "boilerplate_lines": Q.q_boilerplate_lines,
+        # densitometric main-content classification (WSDM-2010 tree)
+        "main_content_blocks": Q.q_main_content_blocks,
+        "main_content_text": Q.q_main_content_text,
+        # C4 three-sentence-span global dedup
+        "c4_span_dedup": Q.q_c4_span_dedup,
         # exact-value via recursive-CTE / closed-form-spec oracles
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
@@ -911,4 +916,112 @@ ranked AS (
 )
 SELECT query_id, cast(rank AS int) AS rank, cand_id, round(cos9, 6) AS cos
 FROM ranked WHERE rank <= 5"""
+    # main_content oracles: planted block features re-derived closed-form
+    # (same mc_feature_sql string both engines), then the identical
+    # WSDM-2010 window+CASE classifier replayed in DuckDB.
+    from amazon_textract_transformer_pipeline_spark.driver_queries import (
+        MC_N_BLOCKS,
+        mc_feature_sql,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.maincontent import (
+        classifier_case,
+        link_density_sql,
+    )
+
+    mc_nw, mc_lw = mc_feature_sql()
+    mc_ctes = f"""
+WITH mcf AS MATERIALIZED (
+  SELECT doc_id, {dw} AS ws, len({dw}) AS n FROM documents
+  WHERE len({dw}) >= 2 * {MC_N_BLOCKS}
+),
+mcg AS (
+  SELECT doc_id, ws, n, cast(i AS int) AS block_ix,
+         {mc_nw} AS n_words, {mc_lw} AS n_link_words
+  FROM mcf, (SELECT unnest(range(0, {MC_N_BLOCKS})) AS i) ii
+),
+mcd AS (
+  SELECT *, {link_density_sql()} AS link_density FROM mcg
+),
+mcw AS (
+  SELECT *,
+    coalesce(lag(n_words) OVER w, 0) AS prev_words,
+    coalesce(lag(link_density) OVER w, 0.0) AS prev_link_density,
+    coalesce(lead(n_words) OVER w, 0) AS next_words
+  FROM mcd WINDOW w AS (PARTITION BY doc_id ORDER BY block_ix)
+),
+mcc AS (
+  SELECT *, {classifier_case()} AS is_content FROM mcw
+)"""
+    sqls["main_content_blocks"] = f"""{mc_ctes}
+SELECT doc_id, block_ix, n_words, n_link_words, link_density, is_content
+FROM mcc"""
+    sqls["main_content_text"] = f"""{mc_ctes}
+SELECT doc_id,
+  count(*) AS n_blocks,
+  cast(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS int)
+    AS n_content_blocks,
+  coalesce(string_agg(CASE WHEN is_content THEN array_to_string(
+      list_slice(ws, cast(floor(block_ix * n / {MC_N_BLOCKS}) AS int) + 1,
+                 cast(floor((block_ix + 1) * n / {MC_N_BLOCKS}) AS int)), ' ')
+      END, ' ' ORDER BY block_ix), '') AS main_text
+FROM mcc GROUP BY doc_id"""
+
+    # c4_span_dedup oracle: the identical span-dedup algorithm replayed
+    # as staged DuckDB CTEs over the same planted corpus.
+    from amazon_textract_transformer_pipeline_spark.driver_queries import (
+        c4_span_text_sql,
+    )
+
+    span_sent = X.sentences("text", "duck")
+    sqls["c4_span_dedup"] = f"""
+WITH gsd AS MATERIALIZED (
+  SELECT doc_id, {c4_span_text_sql()} AS text FROM documents
+),
+sdsa AS MATERIALIZED (
+  SELECT doc_id, {span_sent} AS ss FROM gsd
+),
+sdsent AS (
+  SELECT doc_id, cast(generate_subscripts(ss, 1) - 1 AS int) AS sent_ix,
+         unnest(ss) AS sentence
+  FROM sdsa
+),
+sdspans AS (
+  SELECT doc_id, u.span_ix AS span_ix,
+         {X.h64("u.span", "duck")} AS sh
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len(ss) - 2),
+      i -> {{'span_ix': i,
+             'span': array_to_string(list_slice(ss, i + 1, i + 3),
+                                     chr(1))}})) AS u
+    FROM sdsa WHERE len(ss) >= 3)
+),
+sdocc AS (
+  SELECT doc_id, span_ix,
+    row_number() OVER (PARTITION BY sh ORDER BY doc_id, span_ix) AS rn,
+    count(*) OVER (PARTITION BY sh) AS cnt
+  FROM sdspans
+),
+sdrem AS (
+  SELECT DISTINCT doc_id, cast(span_ix + j AS int) AS sent_ix
+  FROM (SELECT doc_id, span_ix FROM sdocc WHERE cnt >= 2 AND rn > 1),
+       (SELECT unnest([0, 1, 2]) AS j) jj
+),
+sdkept AS (
+  SELECT s.doc_id, s.sent_ix, s.sentence
+  FROM sdsent s LEFT JOIN sdrem r
+    ON r.doc_id = s.doc_id AND r.sent_ix = s.sent_ix
+  WHERE r.doc_id IS NULL
+),
+sdagg AS (
+  SELECT doc_id, string_agg(sentence, ' ' ORDER BY sent_ix) AS kept_text,
+         count(*) AS n_sent_kept
+  FROM sdkept GROUP BY doc_id
+),
+sdn AS (SELECT doc_id, cast(len(ss) AS bigint) AS n_sent FROM sdsa)
+SELECT n.doc_id,
+  coalesce(a.kept_text, '') AS kept_text,
+  cast(coalesce(a.n_sent_kept, 0) AS bigint) AS n_sent_kept,
+  cast(n.n_sent - coalesce(a.n_sent_kept, 0) AS bigint) AS n_sent_removed
+FROM sdn n LEFT JOIN sdagg a ON a.doc_id = n.doc_id"""
+
     return {k: v for k, v in sqls.items() if v is not None}

@@ -694,6 +694,107 @@ def q_pdf_extract(spark, sf_dir) -> DataFrame:
         "url", "n_pages", "extracted_text")
 
 
+def c4_span_text_sql() -> str:
+    """Gate corpus for span dedup: documents text with planted duplicate
+    three-sentence blocks — every third doc shares one block (cross-doc
+    dup) and every seventh-mod-2 doc carries a different block TWICE
+    (within-doc dup). 'Endcap.' absorbs unpunctuated doc tails so the
+    planted sentences stay byte-identical across docs. Valid verbatim in
+    both Spark SQL and DuckDB."""
+    shared = (" Endcap. Shared alpha one. Shared alpha two. "
+              "Shared alpha three.")
+    beta = " Rare beta one. Rare beta two. Rare beta three."
+    return (f"concat(text, "
+            f"CASE WHEN doc_id % 3 = 0 THEN '{shared}' ELSE '' END, "
+            f"CASE WHEN doc_id % 7 = 2 THEN ' Endcap.{beta}{beta}' "
+            f"ELSE '' END)")
+
+
+def q_c4_span_dedup(spark, sf_dir) -> DataFrame:
+    """C4 §2.2 three-sentence-span global dedup over the planted corpus:
+    first occurrence (min doc_id, span_ix) keeps its sentences, every
+    other occurrence — cross-doc or within-doc — loses them; text
+    reassembled from survivors. One shuffle on the 64-bit span hash +
+    doc-grain reassembly; oracle replays the identical algorithm as
+    staged DuckDB CTEs."""
+    from .operators.webclean import dedup_text_spans
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(c4_span_text_sql()).alias("text"))
+    return dedup_text_spans(docs).select(
+        "doc_id", "kept_text", "n_sent_kept", "n_sent_removed")
+
+
+MC_N_BLOCKS = 5  # blocks planted per doc in the main-content gate corpus
+
+
+def mc_feature_sql() -> tuple[str, str]:
+    """Closed-form planted block features in terms of columns (i, n) —
+    the SAME string is valid Spark SQL and DuckDB SQL. Block i of a doc
+    with n words holds words [floor(i*n/5), floor((i+1)*n/5)); block 1 is
+    fully linked (a nav strip), block 3 half-linked (a related-articles
+    strip), the rest unlinked."""
+    k = MC_N_BLOCKS
+    nw = (f"(cast(floor((i + 1) * n / {k}) as int) - "
+          f"cast(floor(i * n / {k}) as int))")
+    lw = (f"CASE WHEN i = 1 THEN {nw} "
+          f"WHEN i = 3 THEN cast(floor(({nw} + 1) / 2) as int) "
+          f"ELSE 0 END")
+    return nw, lw
+
+
+def _mc_classified(spark, sf_dir) -> DataFrame:
+    """Synthesize deterministic HTML from the documents table (5 blocks
+    per doc, link-wrapping per mc_feature_sql), parse it with the REAL
+    block parser, classify with the WSDM-2010 window+CASE plan."""
+    from .operators.maincontent import classify_blocks, html_to_blocks
+
+    nw, _ = mc_feature_sql()
+    lo = f"cast(floor(i * n / {MC_N_BLOCKS}) as int)"
+    half = f"cast(floor(({nw} + 1) / 2) as int)"
+    block = (
+        f"concat('<p>', concat_ws(' ', transform(slice(esc, {lo} + 1, {nw}), "
+        f"(w, j) -> CASE WHEN i = 1 OR (i = 3 AND j < {half}) "
+        f"THEN concat('<a href=\"#\">', w, '</a>') ELSE w END)), '</p>')")
+    html = (f"concat('<html><body>', concat_ws('', "
+            f"transform(sequence(0, {MC_N_BLOCKS - 1}), i -> {block})), "
+            f"'</body></html>')")
+    pages = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(X.words("text", "spark")).alias("ws"))
+        .withColumn("n", F.expr("size(ws)"))
+        .filter(f"n >= 2 * {MC_N_BLOCKS}")
+        .withColumn("esc", F.expr(
+            "transform(ws, w -> replace(replace(replace(w, '&', '&amp;'), "
+            "'<', '&lt;'), '>', '&gt;'))"))
+        .select("doc_id", F.encode(F.expr(html), "UTF-8").alias("html"))
+    )
+    return classify_blocks(html_to_blocks(pages, id_col="doc_id"),
+                           id_col="doc_id")
+
+
+def q_main_content_blocks(spark, sf_dir) -> DataFrame:
+    """Densitometric boilerplate classification (Kohlschuetter et al.,
+    WSDM 2010 NumWordsRules) over HTML synthesized from the documents
+    table: the REAL block parser must recover exactly the planted
+    (n_words, n_link_words) per block, and the lag/lead+CASE classifier
+    must agree with the identical expressions in DuckDB. Parse is
+    map-only; classification adds one per-doc window shuffle."""
+    return _mc_classified(spark, sf_dir).select(
+        "doc_id", "block_ix", "n_words", "n_link_words",
+        "link_density", "is_content")
+
+
+def q_main_content_text(spark, sf_dir) -> DataFrame:
+    """Per-doc main text reassembly: content blocks joined in document
+    order — oracle rebuilds it from the planted word slices."""
+    from .operators.maincontent import main_content_text
+
+    return main_content_text(_mc_classified(spark, sf_dir),
+                             id_col="doc_id").select(
+        "doc_id", "n_blocks", "n_content_blocks", "main_text")
+
+
 def q_tumbling_windows(spark, sf_dir) -> DataFrame:
     """Tumbling-window rollup (1-hour bucket × event_type): the batch twin
     of streaming/arrivals.arrival_metrics_stream and the hypertable-rollup

@@ -45,6 +45,28 @@ def norm_text(text_expr: str, engine: str) -> str:
     return join.format(words(f"lower({text_expr})", engine))
 
 
+def sentences(text_expr: str, engine: str) -> str:
+    """Sentence array, portable across engines: whitespace-normalized text
+    split after ``.``/``!``/``?`` + space. Implemented as literal
+    replaces to a control-char separator + a split — RE2 (DuckDB) has no
+    lookbehind, so the C4-style boundary rule is expressed without regex.
+    Empties are dropped (empty doc → empty array)."""
+    t = norm_join(words(text_expr, engine), engine)
+    m = t
+    for p in (".", "!", "?"):
+        m = f"replace({m}, '{p} ', concat('{p}', chr(1)))"
+    if engine == "spark":
+        return f"filter(split({m}, chr(1)), s -> s <> '')"
+    return f"list_filter(string_split({m}, chr(1)), s -> s != '')"
+
+
+def norm_join(arr_expr: str, engine: str) -> str:
+    """Join a string array with single spaces (engine-dialect)."""
+    if engine == "spark":
+        return f"concat_ws(' ', {arr_expr})"
+    return f"array_to_string({arr_expr}, ' ')"
+
+
 def shingles(ws_expr: str, n: int, engine: str) -> str:
     """Word n-grams as strings; falls back to the whole token list joined
     when there are fewer than n words (so every doc has ≥1 shingle)."""

@@ -159,6 +159,81 @@ def with_pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def dedup_text_spans(docs: DataFrame, n_sent: int = 3,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """C4-style three-sentence-span deduplication (Raffel et al. 2020
+    §2.2: "we discarded all but one of any three-sentence span occurring
+    more than once in the data set"), corpus-global.
+
+    Semantics (pinned, replayed exactly by the DuckDB oracle):
+
+    * sentences = :func:`textsql.sentences` (split after ``./!/?`` +
+      space on whitespace-normalized text);
+    * spans = every ``n_sent`` *consecutive* sentences (stride 1; docs
+      with fewer than ``n_sent`` sentences emit none and pass through);
+    * span identity = portable hash64 of the chr(1)-joined sentences;
+    * the globally-first occurrence — minimal ``(id, span_ix)`` — keeps
+      its sentences; every OTHER occurrence (including later occurrences
+      inside the same document) has all ``n_sent`` sentences removed;
+    * output text = surviving sentences joined with single spaces; every
+      input doc keeps an output row.
+
+    Scale shape: sentence/span explosion is map-side; ranking
+    occurrences is ONE shuffle on the uniform 64-bit span hash; removal
+    positions and the final reassembly share the document-id
+    partitioning (distinct + anti-join + groupBy all on ``(id,
+    sent_ix)`` / ``id``). No broadcast anywhere — at Common-Crawl scale
+    the duplicated-span set is huge (mirrors, syndication).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        id_col, F.expr(X.sentences(text_col, "spark")).alias("ss"))
+    sent = base.select(
+        id_col, F.posexplode_outer("ss").alias("sent_ix", "sentence"))
+    spans = (
+        base.filter(F.expr(f"size(ss) >= {n_sent}"))
+        .select(
+            id_col,
+            F.posexplode(F.expr(
+                f"transform(sequence(0, size(ss) - {n_sent}), "
+                f"i -> concat_ws(chr(1), slice(ss, i + 1, {n_sent})))"))
+            .alias("span_ix", "span"))
+        .withColumn("sh", F.expr(X.h64("span", "spark")))
+    )
+    w = Window.partitionBy("sh").orderBy(id_col, "span_ix")
+    occ = spans.select(
+        id_col, "span_ix", "sh",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("sh")).alias("cnt"))
+    removals = (
+        occ.filter("cnt >= 2 AND rn > 1")
+        .select(id_col, F.explode(F.expr(
+            f"sequence(span_ix, span_ix + {n_sent} - 1)")).alias("sent_ix"))
+        .distinct()
+    )
+    kept = sent.join(removals, [id_col, "sent_ix"], "left_anti")
+    agg = kept.filter("sentence IS NOT NULL").groupBy(id_col).agg(
+        F.expr("concat_ws(' ', transform(array_sort(collect_list("
+               "struct(sent_ix, sentence))), x -> x.sentence))")
+        .alias("kept_text"),
+        F.count("*").cast("bigint").alias("n_sent_kept"))
+    n_in = base.select(
+        id_col, F.expr("cast(size(ss) as bigint)").alias("n_sent"))
+    return (
+        n_in.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            F.coalesce("n_sent_kept", F.lit(0)).cast("bigint")
+            .alias("n_sent_kept"),
+            (F.col("n_sent") - F.coalesce("n_sent_kept", F.lit(0)))
+            .cast("bigint").alias("n_sent_removed"),
+        )
+    )
+
+
 def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 2,
                              words_per_line: int = 12,
                              id_col: str = "doc_id",
