@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content_text": Q.q_main_content_text,
         # C4 three-sentence-span global dedup
         "c4_span_dedup": Q.q_c4_span_dedup,
+        # CCNet-style LM perplexity quality scoring (stupid backoff)
+        "lm_perplexity": Q.q_lm_perplexity,
         # exact-value via recursive-CTE / closed-form-spec oracles
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
@@ -1023,5 +1025,63 @@ SELECT n.doc_id,
   cast(coalesce(a.n_sent_kept, 0) AS bigint) AS n_sent_kept,
   cast(n.n_sent - coalesce(a.n_sent_kept, 0) AS bigint) AS n_sent_removed
 FROM sdn n LEFT JOIN sdagg a ON a.doc_id = n.doc_id"""
+
+    # lm_perplexity oracle: the same stupid-backoff bigram model trained
+    # and scored in DuckDB (operators/lm.py constants shared).
+    from amazon_textract_transformer_pipeline_spark.driver_queries import (
+        LM_REF_MOD,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.lm import (
+        BACKOFF,
+        UNSEEN_SCALE,
+        ppl_bucket_sql,
+    )
+
+    dwl = X.words("lower(text)", "duck")
+
+    def lm_pairs(flt: str) -> str:
+        return f"""
+    SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+             i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS u
+      FROM (SELECT doc_id, {dwl} AS ws FROM documents{flt})
+      WHERE len(ws) >= 2)"""
+
+    ppl = "round(exp(-(a.ll / a.n_pairs)), 6)"
+    sqls["lm_perplexity"] = f"""
+WITH lmuni AS MATERIALIZED (
+  SELECT w, count(*) AS c1 FROM (
+    SELECT unnest({dwl}) AS w FROM documents
+    WHERE doc_id % {LM_REF_MOD} = 0)
+  GROUP BY w
+),
+lmtot AS (SELECT cast(sum(c1) AS double) AS n_tokens FROM lmuni),
+lmbig AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS c2
+  FROM ({lm_pairs(f' WHERE doc_id % {LM_REF_MOD} = 0')})
+  GROUP BY w1, w2
+),
+lmp AS ({lm_pairs('')}),
+lms AS (
+  SELECT p.doc_id,
+    ln(CASE WHEN b.c2 IS NOT NULL THEN b.c2 / cast(u1.c1 AS double)
+        ELSE {BACKOFF} * coalesce(u2.c1 / t.n_tokens,
+                                  1.0 / ({UNSEEN_SCALE} * t.n_tokens)) END)
+      AS lp
+  FROM lmp p
+  LEFT JOIN lmbig b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN lmuni u1 ON u1.w = p.w1
+  LEFT JOIN lmuni u2 ON u2.w = p.w2
+  CROSS JOIN lmtot t
+),
+lma AS (
+  SELECT doc_id, count(*) AS n_pairs, sum(lp) AS ll FROM lms GROUP BY doc_id
+)
+SELECT d.doc_id,
+  cast(coalesce(a.n_pairs, 0) AS bigint) AS n_pairs,
+  round(a.ll, 6) AS logprob_sum,
+  {ppl} AS perplexity,
+  {ppl_bucket_sql(ppl)} AS ppl_bucket
+FROM documents d LEFT JOIN lma a ON a.doc_id = d.doc_id"""
 
     return {k: v for k, v in sqls.items() if v is not None}

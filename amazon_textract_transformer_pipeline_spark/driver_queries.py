@@ -694,6 +694,28 @@ def q_pdf_extract(spark, sf_dir) -> DataFrame:
         "url", "n_pages", "extracted_text")
 
 
+LM_REF_MOD = 4  # LM reference corpus = docs with doc_id % LM_REF_MOD == 0
+
+
+def q_lm_perplexity(spark, sf_dir) -> DataFrame:
+    """CCNet-style LM quality scoring: stupid-backoff bigram LM trained
+    on the quarter of the corpus with doc_id % 4 == 0, perplexity scored
+    for every document, head/middle/tail bucketed on fixed thresholds.
+    Training = two count shuffles; scoring = three shuffle hash joins on
+    uniform token keys; oracle replays the identical model in DuckDB."""
+    from .operators.lm import (
+        perplexity_score,
+        train_bigram_lm,
+        with_ppl_bucket,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ref = docs.filter(f"doc_id % {LM_REF_MOD} = 0")
+    uni, big, tot = train_bigram_lm(ref)
+    return with_ppl_bucket(perplexity_score(docs, uni, big, tot)).select(
+        "doc_id", "n_pairs", "logprob_sum", "perplexity", "ppl_bucket")
+
+
 def c4_span_text_sql() -> str:
     """Gate corpus for span dedup: documents text with planted duplicate
     three-sentence blocks — every third doc shares one block (cross-doc
