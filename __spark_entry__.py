@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_span_dedup": Q.q_c4_span_dedup,
         # CCNet-style LM perplexity quality scoring (stupid backoff)
         "lm_perplexity": Q.q_lm_perplexity,
+        # UT1-style domain blocklist filter (suffix-match semi-join)
+        "domain_blocklist": Q.q_domain_blocklist,
         # exact-value via recursive-CTE / closed-form-spec oracles
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
@@ -1083,5 +1085,17 @@ SELECT d.doc_id,
   {ppl} AS perplexity,
   {ppl_bucket_sql(ppl)} AS ppl_bucket
 FROM documents d LEFT JOIN lma a ON a.doc_id = d.doc_id"""
+
+    # domain_blocklist oracle: fully closed-form — the generated host and
+    # the blocked verdict are both predictable from doc_id.
+    sqls["domain_blocklist"] = """
+SELECT doc_id,
+  concat(CASE WHEN doc_id % 5 = 0 THEN 'sub.' ELSE '' END,
+         'host', cast(doc_id % 7 AS varchar), '.example.com') AS host,
+  (doc_id % 7) IN (1, 4) AS blocked,
+  CASE WHEN (doc_id % 7) IN (1, 4)
+       THEN concat('host', cast(doc_id % 7 AS varchar), '.example.com')
+  END AS blocked_domain
+FROM documents"""
 
     return {k: v for k, v in sqls.items() if v is not None}

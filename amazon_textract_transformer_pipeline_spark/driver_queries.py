@@ -694,6 +694,27 @@ def q_pdf_extract(spark, sf_dir) -> DataFrame:
         "url", "n_pages", "extracted_text")
 
 
+def q_domain_blocklist(spark, sf_dir) -> DataFrame:
+    """UT1-style domain blocklist filter over deterministically-messy
+    urls (mixed case, www repeats, default port, a sub. prefix every
+    fifth doc so the parent-domain suffix match is exercised): blocked
+    iff host's registrable domain is host1/host4.example.com. Oracle is
+    closed-form — host extraction, suffix explosion, and the shuffle
+    semi-join must all agree to hit it."""
+    from .operators.webclean import filter_blocked_domains
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("concat('HTTP://', CASE WHEN doc_id % 5 = 0 THEN 'Sub.' "
+               "ELSE 'WWW.' END, 'Host', cast(doc_id % 7 as string), "
+               "'.Example.COM:80/p/', cast(doc_id as string))").alias("url"))
+    bl = spark.createDataFrame(
+        [("host1.example.com",), ("host4.example.com",), ("evil.org",)],
+        "domain string")
+    return filter_blocked_domains(docs, bl).select(
+        "doc_id", "host", "blocked", "blocked_domain")
+
+
 LM_REF_MOD = 4  # LM reference corpus = docs with doc_id % LM_REF_MOD == 0
 
 

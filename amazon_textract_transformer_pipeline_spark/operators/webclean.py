@@ -159,6 +159,58 @@ def with_pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def host_sql(url_expr: str, engine: str) -> str:
+    """Lowercased registrable host of a URL: authority, leading ``www.``
+    repeats stripped, trailing ``:port`` stripped. Userinfo-bearing
+    authorities pass through host-extraction of the part after ``@``
+    (the actual host). Dialect differs only in backslash doubling."""
+    bs = "\\\\" if engine == "spark" else "\\"
+    auth = (f"lower(regexp_extract({url_expr}, "
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)', 1))")
+    h = f"regexp_replace({auth}, '^(www{bs}.)+', '')"
+    return f"regexp_replace({h}, ':[0-9]+$', '')"
+
+
+def filter_blocked_domains(docs: DataFrame, blocklist: DataFrame,
+                           url_col: str = "url",
+                           id_col: str = "doc_id") -> DataFrame:
+    """UT1-style domain blocklist filtering (the RefinedWeb/C4 URL-filter
+    pass): a document is blocked when its host or ANY parent domain
+    (suffix with ≥ 2 labels) appears in ``blocklist`` (one ``domain``
+    column, lowercase). Every input doc keeps a row with a ``blocked``
+    flag plus the most-specific matching entry (longest, then
+    lexicographically greatest — deterministic when several match).
+
+    Scale shape: per-doc suffix explosion is map-side and bounded by the
+    host's label count; the match is one shuffle join on the suffix
+    string (UT1-class lists are millions of rows — AQE may broadcast at
+    small scale but nothing forces it), then one doc-grain aggregation.
+    """
+    hosts = docs.select(
+        id_col, F.expr(host_sql(url_col, "spark")).alias("host"))
+    suffixes = hosts.select(
+        id_col, "host",
+        F.explode(F.expr(
+            "transform(sequence(0, greatest(size(split(host, '\\\\.')) - 2, 0)), "
+            "i -> concat_ws('.', slice(split(host, '\\\\.'), i + 1, "
+            "size(split(host, '\\\\.')) - i)))")).alias("suffix"))
+    matches = (
+        suffixes.join(blocklist.select(F.col("domain").alias("suffix")),
+                      "suffix")
+        .groupBy(id_col)
+        .agg(F.expr("max(struct(length(suffix) as l, suffix as d)).d")
+             .alias("blocked_domain"))
+    )
+    return (
+        hosts.join(matches, id_col, "left")
+        .select(
+            id_col, "host",
+            F.col("blocked_domain").isNotNull().alias("blocked"),
+            "blocked_domain",
+        )
+    )
+
+
 def dedup_text_spans(docs: DataFrame, n_sent: int = 3,
                      id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:

@@ -113,3 +113,49 @@ def test_canonical_url_idempotent_on_adversarial_inputs(spark):
     assert all(r.url_canon is not None for r in twice)
     bad = [(r.url, r.url_canon) for r in twice if r.url != r.url_canon]
     assert bad == [], bad[:5]
+
+
+def _bl(spark, urls, domains):
+    from amazon_textract_transformer_pipeline_spark.operators.webclean import (
+        filter_blocked_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+    bl = spark.createDataFrame([(d,) for d in domains], "domain string")
+    out = filter_blocked_domains(docs, bl).collect()
+    return {r.doc_id: r for r in out}
+
+
+def test_blocklist_exact_and_suffix_match(spark):
+    r = _bl(spark, [
+        "http://bad.com/x",            # exact
+        "https://deep.sub.bad.com/y",  # 2-level suffix
+        "http://good.com/z",           # clean
+        "http://notbad.com/w",         # suffix must respect label bounds
+    ], ["bad.com"])
+    assert [r[i].blocked for i in range(4)] == [True, True, False, False]
+    assert r[1].blocked_domain == "bad.com"
+
+
+def test_blocklist_most_specific_match_wins(spark):
+    r = _bl(spark, ["http://a.example.com/"],
+            ["example.com", "a.example.com"])
+    assert r[0].blocked and r[0].blocked_domain == "a.example.com"
+
+
+def test_blocklist_host_normalization(spark):
+    r = _bl(spark, [
+        "HTTPS://WWW.WWW.Bad.COM:443/p",   # case+www-repeat+port
+        "http://user:pw@bad.com/q",        # userinfo skipped to real host
+        "not a url at all",                # no authority -> host '' kept
+    ], ["bad.com"])
+    assert r[0].host == "bad.com" and r[0].blocked
+    assert r[1].host == "bad.com" and r[1].blocked
+    assert r[2].host == "" and not r[2].blocked
+
+
+def test_blocklist_single_label_host(spark):
+    r = _bl(spark, ["http://localhost:8080/x", "http://intranet/y"],
+            ["localhost"])
+    assert r[0].blocked and not r[1].blocked
