@@ -103,6 +103,12 @@ def bench_queries(spark) -> dict[str, float]:
     timed("text_stats", lambda: _force(Q.q_text_stats(spark, sf)))
     timed("split_windows", lambda: Q.q_split_windows(spark, sf).count())
 
+    # round-6 operators: densitometric main content, C4 span dedup,
+    # LM perplexity scoring (each through its gate query = synth + op)
+    timed("main_content", lambda: _force(Q.q_main_content_text(spark, sf)))
+    timed("c4_span_dedup", lambda: _force(Q.q_c4_span_dedup(spark, sf)))
+    timed("lm_perplexity", lambda: _force(Q.q_lm_perplexity(spark, sf)))
+
     # round-3/4 operators: windowed analytics, WARC ingestion, real-codec
     # decode, native PDF extraction
     timed("gopher_repetition", lambda: _force(Q.q_gopher_repetition(spark, sf)))
