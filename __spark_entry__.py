@@ -122,6 +122,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": Q.q_lm_perplexity,
         # UT1-style domain blocklist filter (suffix-match semi-join)
         "domain_blocklist": Q.q_domain_blocklist,
+        # corpus composition: intra-doc line dedup, mixture sampling,
+        # DSIR importance, and the composed corpus filter
+        "doc_line_dedup": Q.q_doc_line_dedup,
+        "mixture_sample": Q.q_mixture_sample,
+        "dsir_importance": Q.q_dsir_importance,
+        "corpus_filter": Q.q_corpus_filter,
         # exact-value via recursive-CTE / closed-form-spec oracles
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
@@ -1085,6 +1091,104 @@ SELECT d.doc_id,
   {ppl} AS perplexity,
   {ppl_bucket_sql(ppl)} AS ppl_bucket
 FROM documents d LEFT JOIN lma a ON a.doc_id = d.doc_id"""
+
+    # doc_line_dedup oracle: same builder + same deterministic line-laden
+    # text (indexed-lambda keep-first filter in both dialects).
+    from amazon_textract_transformer_pipeline_spark.driver_queries import (
+        MIXTURE_RATES,
+        corpus_text_sql,
+        dsir_text_sql,
+        line_text_sql,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.sampling import (
+        PPM,
+        _hash_ppm,
+        importance_exprs,
+        n_copies_sql,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.webclean import (
+        line_dedup_exprs,
+    )
+    lsel = ", ".join(f"{x} AS {k}"
+                     for k, x in line_dedup_exprs("text", "duck").items())
+    sqls["doc_line_dedup"] = f"""
+WITH p AS MATERIALIZED (
+  SELECT doc_id, {line_text_sql('duck')} AS text FROM documents
+)
+SELECT doc_id, {lsel} FROM p"""
+
+    # mixture_sample oracle: identical integer ppm arithmetic (DIV↔//,
+    # salted portable hash) over the same literal rate catalog.
+    rates_values = ", ".join(f"('{s}', {r})" for s, r in MIXTURE_RATES)
+    sqls["mixture_sample"] = f"""
+WITH d AS (
+  SELECT doc_id, 'src' || cast(doc_id % 5 AS varchar) AS source
+  FROM documents
+),
+r(source, rate_ppm) AS (VALUES {rates_values}),
+j AS (
+  SELECT doc_id, d.source,
+         CAST(coalesce(rate_ppm, {PPM}) AS BIGINT) AS rate_ppm,
+         {_hash_ppm('doc_id', 'mix', 'duck')} AS h
+  FROM d LEFT JOIN r USING (source)
+),
+c AS (
+  SELECT doc_id, source, rate_ppm,
+         CAST({n_copies_sql('rate_ppm', 'h', 'duck')} AS BIGINT) AS n_copies
+  FROM j
+)
+SELECT doc_id, source, rate_ppm, n_copies,
+       CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_ix
+FROM c WHERE n_copies >= 1"""
+
+    # dsir_importance oracle: same builder + same gram-planted text.
+    isel = ", ".join(f"{x} AS {k}"
+                     for k, x in importance_exprs("text", "duck").items())
+    sqls["dsir_importance"] = f"""
+WITH p AS MATERIALIZED (
+  SELECT doc_id, {dsir_text_sql('duck')} AS text FROM documents
+)
+SELECT doc_id, {isel} FROM p"""
+
+    # corpus_filter oracle: the composed pipeline — closed-form blocklist
+    # verdict (the domain_blocklist construction), langid scores projected
+    # once, then every stage verdict from the same dual-dialect builders.
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        langid_argmax_case,
+        langid_score_exprs,
+    )
+    ssel = ", ".join(f"{x} AS {k}"
+                     for k, x in langid_score_exprs("text", "duck").items())
+    gp = gopher_exprs("text", "duck")["gopher_pass"]
+    cp = c4_exprs("text", "duck")["c4_pass"]
+    ds = importance_exprs("text", "duck")["dsir_sampled"]
+    sqls["corpus_filter"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, {corpus_text_sql()} AS text,
+    concat(CASE WHEN doc_id % 5 = 0 THEN 'sub.' ELSE '' END,
+           'host', cast(doc_id % 7 AS varchar), '.example.com') AS host,
+    (doc_id % 7) IN (1, 4) AS blocked
+  FROM documents
+),
+sc AS MATERIALIZED (
+  SELECT doc_id, host, blocked, text, {ssel} FROM base
+),
+v AS (
+  SELECT doc_id, host, blocked, {langid_argmax_case()} AS lang_pred,
+         {gp} AS gopher_pass, {cp} AS c4_pass, {ds} AS dsir_sampled
+  FROM sc
+),
+w AS (
+  SELECT *, CASE WHEN blocked THEN 'blocked_domain'
+       WHEN lang_pred <> 'en' THEN 'language'
+       WHEN NOT gopher_pass THEN 'gopher_quality'
+       WHEN NOT c4_pass THEN 'c4_cleaning'
+       WHEN NOT dsir_sampled THEN 'dsir_sampled_out' END AS drop_reason
+  FROM v
+)
+SELECT doc_id, host, blocked, lang_pred, gopher_pass, c4_pass,
+       dsir_sampled, drop_reason, (drop_reason IS NULL) AS kept
+FROM w"""
 
     # domain_blocklist oracle: fully closed-form — the generated host and
     # the blocked verdict are both predictable from doc_id.

@@ -877,3 +877,168 @@ def q_session_windows(spark, sf_dir) -> DataFrame:
                 .alias("session_last_us"),
                 "n_events", "sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-composition gates: intra-doc line dedup, mixture sampling, DSIR
+# importance, and the composed corpus filter (round 6)
+# ---------------------------------------------------------------------------
+
+def line_text_sql(engine: str) -> str:
+    """Deterministic line-laden text from doc_id (both engines): a nav
+    line duplicated verbatim, two blank lines (must BOTH survive), the
+    document body, and a tail that duplicates the second line for even
+    doc_ids only — so removal counts vary across the corpus."""
+    s = "string" if engine == "spark" else "varchar"
+    return (
+        f"concat('Nav ', cast(doc_id % 3 as {s}), chr(10),"
+        f" 'Body ', cast(doc_id as {s}), chr(10),"
+        f" chr(10),"
+        f" 'Nav ', cast(doc_id % 3 as {s}), chr(10),"
+        f" text, chr(10),"
+        f" chr(10),"
+        f" CASE WHEN doc_id % 2 = 0 THEN concat('Body ', cast(doc_id as {s}))"
+        f" ELSE concat('Tail ', cast(doc_id as {s})) END)"
+    )
+
+
+def q_doc_line_dedup(spark, sf_dir) -> DataFrame:
+    """Within-document repeated-line removal over deterministically
+    line-laden text: the duplicated nav line and (for even ids) the
+    duplicated body line vanish, blank lines and first occurrences
+    survive in order. Map-side indexed-lambda filter — zero shuffle;
+    exact against the same expression builder in DuckDB."""
+    from .operators.webclean import with_line_dedup
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(line_text_sql("spark")).alias("text"))
+    return with_line_dedup(d).drop("text")
+
+
+MIXTURE_RATES: list[tuple[str, int]] = [
+    ("src0", 2_300_000),   # 2.3 epochs: upsampled source
+    ("src1", 500_000),     # downsampled by half
+    ("src2", 0),           # excluded source
+    ("src3", 1_000_000),   # exactly one epoch
+    # src4 deliberately absent → default rate applies
+]
+
+
+def q_mixture_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic mixture/temperature sampling: per-source integer
+    ppm rates (upsampling >1e6, exclusion 0, catalog miss → default),
+    copies decided by the salted portable hash. One explicit broadcast
+    of the rate dim; zero corpus shuffles. Exact against the identical
+    integer arithmetic in DuckDB."""
+    from .operators.sampling import mixture_sample
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("concat('src', cast(doc_id % 5 as string))").alias("source"))
+    rates = spark.createDataFrame(MIXTURE_RATES, "source string, rate_ppm long")
+    out = mixture_sample(d, rates)
+    return out.select("doc_id", "source", "rate_ppm", "n_copies",
+                      F.col("copy_ix").cast("int").alias("copy_ix"))
+
+
+def dsir_text_sql(engine: str) -> str:
+    """Deterministic gram-planted text: every third doc leads with
+    target-profile prose, every third-plus-one with raw-web boilerplate,
+    the rest with nothing — then the real document text as a tail."""
+    lead = ("CASE WHEN doc_id % 3 = 0 THEN "
+            "'The university was founded during the century however it was ' "
+            "WHEN doc_id % 3 = 1 THEN "
+            "'Click here buy now free subscribe login cookie !!! $9 deal ' "
+            "ELSE '' END")
+    return f"concat({lead}, text)"
+
+
+def q_dsir_importance(spark, sf_dir) -> DataFrame:
+    """DSIR-style importance scoring + deterministic resampling over
+    gram-planted text: exact-integer milli-log-ratio scores, calibrated
+    ppm acceptance, hash-thresholded verdict. Pure map-side projection,
+    zero shuffle; exact against the same builder in DuckDB."""
+    from .operators.sampling import with_importance
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(dsir_text_sql("spark")).alias("text"))
+    return with_importance(d).drop("text")
+
+
+#: a paragraph that passes every Gopher/C4 rule (3 terminal-punctuated
+#: ≥5-word lines, ≥50 mostly-alphabetic words, stopword hits, no braces)
+_GOOD_LINE = ("The history of the university and the town that have "
+              "grown with it was written during the long century by "
+              "many careful scholars.")
+#: a C4-surviving line loaded with raw-web DSIR evidence — docs carrying
+#: it stay clean but score low enough that most get sampled out
+_SPAM_LINE = ("Click the free offer and buy now to subscribe with "
+              "one more click today.")
+
+
+def corpus_text_sql() -> str:
+    """Gate corpus for the composed filter (engine-neutral SQL): even
+    doc_ids carry the clean paragraph (every fourth-mod-2 doc with the
+    spammy-but-clean DSIR line appended) so documents reach — and split
+    at — every stage; odd doc_ids keep the raw table text and die at
+    language/quality/cleaning stages as before."""
+    good3 = f"concat('{_GOOD_LINE}', chr(10), '{_GOOD_LINE}', chr(10), '{_GOOD_LINE}')"
+    spam3 = f"concat(chr(10), '{_SPAM_LINE}', chr(10), '{_SPAM_LINE}', chr(10), '{_SPAM_LINE}')"
+    return (
+        f"CASE WHEN doc_id % 2 = 0 THEN concat({good3}, "
+        f"CASE WHEN doc_id % 4 = 2 THEN {spam3} "
+        f"ELSE '' END) ELSE text END"
+    )
+
+
+def q_corpus_filter(spark, sf_dir) -> DataFrame:
+    """The composed pre-training corpus filter — the pipeline a corpus
+    release actually runs, as ONE query: UT1 domain blocklist (suffix
+    semi-join) → scored language ID → Gopher quality verdict → C4
+    cleaning verdict → DSIR importance sampling, with the first failing
+    stage recorded per document. Everything except the blocklist join
+    is a single map-side codegen stage over the scan; the join is the
+    same suffix-explode shuffle as q_domain_blocklist."""
+    from .operators.sampling import importance_exprs
+    from .operators.textstats import (
+        c4_exprs,
+        gopher_exprs,
+        with_langid,
+    )
+    from .operators.webclean import filter_blocked_domains
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(corpus_text_sql()).alias("text"),
+        F.expr("concat('HTTP://', CASE WHEN doc_id % 5 = 0 THEN 'Sub.' "
+               "ELSE 'WWW.' END, 'Host', cast(doc_id % 7 as string), "
+               "'.Example.COM:80/p/', cast(doc_id as string))").alias("url"))
+    bl = spark.createDataFrame(
+        [("host1.example.com",), ("host4.example.com",), ("evil.org",)],
+        "domain string")
+    blocked = filter_blocked_domains(docs, bl).select(
+        "doc_id", "host", "blocked")
+    verdicts = (
+        with_langid(docs.select("doc_id", "text"))
+        .withColumn("gopher_pass",
+                    F.expr(gopher_exprs("text", "spark")["gopher_pass"]))
+        .withColumn("c4_pass",
+                    F.expr(c4_exprs("text", "spark")["c4_pass"]))
+        .withColumn("dsir_sampled",
+                    F.expr(importance_exprs("text", "spark")["dsir_sampled"]))
+        .select("doc_id", "lang_pred", "gopher_pass", "c4_pass",
+                "dsir_sampled")
+    )
+    out = blocked.join(verdicts, "doc_id")
+    reason = (
+        "CASE WHEN blocked THEN 'blocked_domain' "
+        "WHEN lang_pred <> 'en' THEN 'language' "
+        "WHEN NOT gopher_pass THEN 'gopher_quality' "
+        "WHEN NOT c4_pass THEN 'c4_cleaning' "
+        "WHEN NOT dsir_sampled THEN 'dsir_sampled_out' END"
+    )
+    return out.select(
+        "doc_id", "host", "blocked", "lang_pred", "gopher_pass", "c4_pass",
+        "dsir_sampled",
+        F.expr(reason).alias("drop_reason"),
+        F.expr(f"({reason}) IS NULL").alias("kept"),
+    )

@@ -286,6 +286,66 @@ def dedup_text_spans(docs: DataFrame, n_sent: int = 3,
     )
 
 
+def line_dedup_exprs(text: str, engine: str) -> dict[str, str]:
+    """Intra-document repeated-line removal (the RefinedWeb/CCNet
+    within-page pass: nav strips, repeated footers, pagination rows
+    duplicate INSIDE one page long before corpus-level dedup sees them).
+
+    Semantics (pinned, replayed exactly by the DuckDB oracle):
+
+    * lines split on the real newline; identity is the raw line
+      byte-for-byte (no normalization — a trailing space makes a
+      different line);
+    * a line survives iff it is the FIRST occurrence of its value in
+      the document; whitespace-only lines always survive (they carry
+      paragraph structure, and collapsing every blank line to one would
+      glue unrelated paragraphs);
+    * ``kept_text`` re-joins survivors with newlines in original order.
+
+    Entirely map-side — the keep-first rule is an indexed-lambda filter
+    (Spark ``filter(ls, (l, i) -> array_position(ls, l) = i + 1)``,
+    0-based index; DuckDB ``list_filter`` with 1-based index), so the
+    pass costs zero shuffles and composes into the same codegen stage as
+    the Gopher/C4 filters. Per-doc cost is O(lines · first-occurrence
+    scan) — bounded by page size, independent of corpus size.
+
+    Blankness uses the pinned whitespace set (textstats._trim) — the
+    engines' default trims diverge on NBSP/tab, so a bare ``trim`` here
+    would keep an NBSP-only line on one engine and dedup it on the
+    other.
+    """
+    from .textstats import _trim
+
+    blank = f"{_trim('l', engine)} = ''"
+    if engine == "spark":
+        ls = f"split({text}, '\\n')"
+        kept = (f"filter({ls}, (l, i) -> {blank} "
+                f"OR array_position({ls}, l) = i + 1)")
+        n = f"size({ls})"
+        nk = f"size({kept})"
+        joined = f"array_join({kept}, '\\n')"
+    else:
+        ls = f"string_split({text}, chr(10))"
+        kept = (f"list_filter({ls}, (l, i) -> {blank} "
+                f"OR list_position({ls}, l) = i)")
+        n = f"len({ls})"
+        nk = f"len({kept})"
+        joined = f"array_to_string({kept}, chr(10))"
+    return {
+        "kept_text": joined,
+        "n_lines": f"cast({n} as bigint)",
+        "n_lines_removed": f"cast({n} - {nk} as bigint)",
+    }
+
+
+def with_line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the within-document line-dedup columns (map-side)."""
+    out = docs
+    for name, e in line_dedup_exprs(text_col, "spark").items():
+        out = out.withColumn(name, F.expr(e))
+    return out
+
+
 def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 2,
                              words_per_line: int = 12,
                              id_col: str = "doc_id",
