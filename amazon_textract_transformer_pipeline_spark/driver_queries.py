@@ -996,9 +996,10 @@ def q_corpus_filter(spark, sf_dir) -> DataFrame:
     release actually runs, as ONE query: UT1 domain blocklist (suffix
     semi-join) → scored language ID → Gopher quality verdict → C4
     cleaning verdict → DSIR importance sampling, with the first failing
-    stage recorded per document. Everything except the blocklist join
-    is a single map-side codegen stage over the scan; the join is the
-    same suffix-explode shuffle as q_domain_blocklist."""
+    stage recorded per document. The blocklist output passes its input
+    columns through, so every verdict is ONE map-side codegen stage on
+    top of the suffix-join — no re-join against the scan, no second
+    corpus-wide shuffle."""
     from .operators.sampling import importance_exprs
     from .operators.textstats import (
         c4_exprs,
@@ -1015,20 +1016,15 @@ def q_corpus_filter(spark, sf_dir) -> DataFrame:
     bl = spark.createDataFrame(
         [("host1.example.com",), ("host4.example.com",), ("evil.org",)],
         "domain string")
-    blocked = filter_blocked_domains(docs, bl).select(
-        "doc_id", "host", "blocked")
-    verdicts = (
-        with_langid(docs.select("doc_id", "text"))
+    out = (
+        with_langid(filter_blocked_domains(docs, bl))
         .withColumn("gopher_pass",
                     F.expr(gopher_exprs("text", "spark")["gopher_pass"]))
         .withColumn("c4_pass",
                     F.expr(c4_exprs("text", "spark")["c4_pass"]))
         .withColumn("dsir_sampled",
                     F.expr(importance_exprs("text", "spark")["dsir_sampled"]))
-        .select("doc_id", "lang_pred", "gopher_pass", "c4_pass",
-                "dsir_sampled")
     )
-    out = blocked.join(verdicts, "doc_id")
     reason = (
         "CASE WHEN blocked THEN 'blocked_domain' "
         "WHEN lang_pred <> 'en' THEN 'language' "

@@ -181,13 +181,19 @@ def filter_blocked_domains(docs: DataFrame, blocklist: DataFrame,
     flag plus the most-specific matching entry (longest, then
     lexicographically greatest — deterministic when several match).
 
+    All input columns pass through (``host``/``blocked``/
+    ``blocked_domain`` appended), so downstream map-side stages — the
+    quality/langid/sampling verdicts of the composed corpus filter —
+    compute directly on this output instead of re-joining the scan
+    (which would cost an extra corpus-wide doc_id shuffle).
+
     Scale shape: per-doc suffix explosion is map-side and bounded by the
     host's label count; the match is one shuffle join on the suffix
     string (UT1-class lists are millions of rows — AQE may broadcast at
-    small scale but nothing forces it), then one doc-grain aggregation.
+    small scale but nothing forces it), then one doc-grain aggregation
+    whose output joins back on ``id_col`` (uniform key, skew-free).
     """
-    hosts = docs.select(
-        id_col, F.expr(host_sql(url_col, "spark")).alias("host"))
+    hosts = docs.withColumn("host", F.expr(host_sql(url_col, "spark")))
     suffixes = hosts.select(
         id_col, "host",
         F.explode(F.expr(
@@ -204,7 +210,7 @@ def filter_blocked_domains(docs: DataFrame, blocklist: DataFrame,
     return (
         hosts.join(matches, id_col, "left")
         .select(
-            id_col, "host",
+            *[F.col(c) for c in hosts.columns],
             F.col("blocked_domain").isNotNull().alias("blocked"),
             "blocked_domain",
         )

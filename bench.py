@@ -109,6 +109,11 @@ def bench_queries(spark) -> dict[str, float]:
     timed("c4_span_dedup", lambda: _force(Q.q_c4_span_dedup(spark, sf)))
     timed("lm_perplexity", lambda: _force(Q.q_lm_perplexity(spark, sf)))
 
+    # round-6 corpus composition: the composed filter (blocklist + langid +
+    # gopher + c4 + dsir in one plan) and deterministic mixture sampling
+    timed("corpus_filter", lambda: _force(Q.q_corpus_filter(spark, sf)))
+    timed("mixture_sample", lambda: Q.q_mixture_sample(spark, sf).count())
+
     # round-3/4 operators: windowed analytics, WARC ingestion, real-codec
     # decode, native PDF extraction
     timed("gopher_repetition", lambda: _force(Q.q_gopher_repetition(spark, sf)))
