@@ -128,6 +128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": Q.q_mixture_sample,
         "dsir_importance": Q.q_dsir_importance,
         "corpus_filter": Q.q_corpus_filter,
+        "corpus_report": Q.q_corpus_report,
+        # cross-snapshot URL dedup + sequence packing
+        "url_dedup_latest": Q.q_url_dedup_latest,
+        "pack_sequences": Q.q_pack_sequences,
         # exact-value via recursive-CTE / closed-form-spec oracles
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
@@ -1189,6 +1193,62 @@ w AS (
 SELECT doc_id, host, blocked, lang_pred, gopher_pass, c4_pass,
        dsir_sampled, drop_reason, (drop_reason IS NULL) AS kept
 FROM w"""
+
+    # corpus_report oracle: the release-metrics rollup over the full
+    # corpus_filter oracle (nested as a subquery).
+    sqls["corpus_report"] = f"""
+SELECT lang_pred, drop_reason,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM ({sqls['corpus_filter']}) cf
+GROUP BY lang_pred, drop_reason"""
+
+    # url_dedup_latest oracle: canonicalization + a keep-newest window
+    # (row_number replays max_by's (ts, id) struct ordering).
+    from amazon_textract_transformer_pipeline_spark.driver_queries import (
+        snapshot_url_sql,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.webclean import (
+        canonical_url_sql,
+    )
+    sqls["url_dedup_latest"] = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, {snapshot_url_sql('duck')} AS url,
+         CAST(1700000000000000 + (doc_id % 97) * 3600000000 AS BIGINT)
+           AS ts_us
+  FROM documents
+),
+c AS MATERIALIZED (
+  SELECT doc_id, ts_us, {canonical_url_sql('url', 'duck')} AS url_canon
+  FROM d
+),
+rk AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY url_canon
+                       ORDER BY ts_us DESC, doc_id DESC) AS rn,
+    count(*) OVER (PARTITION BY url_canon) AS nv
+  FROM c
+)
+SELECT url_canon, doc_id AS keeper_id, ts_us AS keeper_ts_us,
+       CAST(nv AS BIGINT) AS n_versions
+FROM rk WHERE rn = 1"""
+
+    # pack_sequences oracle: identical salted-hash bucketing + window
+    # running-sum arithmetic from the shared builder.
+    from amazon_textract_transformer_pipeline_spark.operators.sampling import (
+        packing_oracle_sql,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        token_count_sql,
+    )
+    sqls["pack_sequences"] = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         CAST({token_count_sql('text', 'duck')} AS BIGINT) AS n_tokens
+  FROM documents
+)
+{packing_oracle_sql(512, 8, docs_cte='toks')}"""
 
     # domain_blocklist oracle: fully closed-form — the generated host and
     # the blocked verdict are both predictable from doc_id.

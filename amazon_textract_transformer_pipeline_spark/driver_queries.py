@@ -1038,3 +1038,65 @@ def q_corpus_filter(spark, sf_dir) -> DataFrame:
         F.expr(reason).alias("drop_reason"),
         F.expr(f"({reason}) IS NULL").alias("kept"),
     )
+
+
+def snapshot_url_sql(engine: str) -> str:
+    """Deterministic colliding-snapshot urls: ~100 distinct canonical
+    pages captured by many docs in messy spellings (case, www, default
+    port, tracking params) — canon collisions are the point."""
+    s = "string" if engine == "spark" else "varchar"
+    page = f"cast(doc_id % 100 as {s})"
+    return (
+        f"concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Site' "
+        f"ELSE 'https://site' END, cast(doc_id % 4 as {s}), "
+        f"'.Example.ORG', CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END, "
+        f"'/page/', {page}, "
+        f"CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x' ELSE '' END)"
+    )
+
+
+def q_url_dedup_latest(spark, sf_dir) -> DataFrame:
+    """Cross-snapshot URL dedup: canonicalize colliding messy urls, keep
+    the newest capture per canonical url (ties to highest doc_id). One
+    shuffle with map-side max_by partials; oracle replays via a DuckDB
+    window."""
+    from .operators.webclean import latest_per_canonical_url
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(snapshot_url_sql("spark")).alias("url"),
+        # epoch-us capture time: wraps every 97 docs so max-ts keepers
+        # are not simply the max doc_id of the group
+        F.expr("cast(1700000000000000 + (doc_id % 97) * 3600000000 "
+               "as bigint)").alias("ts_us"))
+    return latest_per_canonical_url(d)
+
+
+def q_pack_sequences(spark, sf_dir) -> DataFrame:
+    """GPT-2-style concat-and-chunk sequence packing: whitespace token
+    counts, 8 salted packing streams, 512-token budget. One window
+    shuffle; pack assignment/offsets/boundary flags exact against the
+    identical DuckDB window arithmetic."""
+    from .operators.sampling import pack_sequences
+    from .operators.textstats import token_count_sql
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(token_count_sql("text", "spark"))
+        .cast("bigint").alias("n_tokens"))
+    return pack_sequences(d, budget=512, n_buckets=8)
+
+
+def q_corpus_report(spark, sf_dir) -> DataFrame:
+    """Corpus-composition report over the composed filter: documents and
+    distinct hosts per (language, drop reason) — the release-metrics
+    rollup a corpus publisher ships with the data. One tiny-key agg on
+    top of the corpus_filter plan."""
+    return (
+        q_corpus_filter(spark, sf_dir)
+        .groupBy("lang_pred", "drop_reason")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.countDistinct("host").cast("bigint").alias("n_hosts"),
+             F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint")
+             .alias("n_kept"))
+    )

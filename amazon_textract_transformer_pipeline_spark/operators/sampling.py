@@ -202,3 +202,95 @@ def with_importance(docs: DataFrame, text_col: str = "text",
     for name, e in importance_exprs(text_col, "spark", id_col).items():
         out = out.withColumn(name, F.expr(e))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: documents → fixed-token-budget training packs
+# ---------------------------------------------------------------------------
+
+def pack_sequences(docs: DataFrame, budget: int = 2048,
+                   n_buckets: int = 8, id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens") -> DataFrame:
+    """Assign documents to fixed-budget training packs (the GPT-2-style
+    concat-and-chunk layout: documents laid back-to-back, context
+    windows cut every ``budget`` tokens).
+
+    Semantics (pinned, replayed exactly by the DuckDB oracle):
+
+    * documents are salted-hashed into ``n_buckets`` independent
+      packing streams (deterministic shuffle of the corpus — adjacent
+      crawl order would otherwise put one host's docs in one pack);
+    * within a bucket, docs concatenate in (hash, id) order;
+      ``pack_offset`` is the running token count before the doc;
+    * ``pack_ix`` = the budget-window where the doc STARTS
+      (pack_offset DIV budget); ``spans_packs`` flags docs crossing a
+      boundary (the loader's truncate/wrap decision is out of scope —
+      this operator decides layout, not loss masking);
+    * ``pack_id`` = bucket * 2^32 + pack_ix, globally unique.
+
+    Scale shape: ONE shuffle — the per-bucket window (running sum in
+    codegen). Each bucket sorts independently, so ``n_buckets`` bounds
+    the sort and sets the parallelism: at 10^12 docs pick
+    n_buckets ≈ corpus/10^6 so a bucket's pack stream fits an executor
+    sort comfortably. No driver state, no Python in the path.
+    """
+    from pyspark.sql import Window
+
+    h = _hash_ppm(id_col, "packbkt", "spark")
+    d = docs.withColumn("bucket",
+                        F.expr(f"cast({h} % {int(n_buckets)} as int)"))
+    order_h = _hash_ppm(id_col, "packord", "spark")
+    d = d.withColumn("_oh", F.expr(order_h))
+    w = (Window.partitionBy("bucket").orderBy("_oh", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = (
+        d.withColumn("pack_offset",
+                     F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+                     .cast("bigint"))
+        .withColumn("pack_ix",
+                    F.expr(f"pack_offset DIV {int(budget)}").cast("bigint"))
+        .withColumn("pack_id",
+                    F.expr("bucket * cast(4294967296 as bigint) + pack_ix"))
+        .withColumn("offset_in_pack",
+                    F.expr(f"pack_offset % {int(budget)}").cast("bigint"))
+        .withColumn("spans_packs",
+                    F.expr(f"(pack_offset + {tokens_col} - 1) DIV {int(budget)} "
+                           f"> pack_ix"))
+    )
+    return out.drop("_oh")
+
+
+def packing_oracle_sql(budget: int, n_buckets: int,
+                       docs_cte: str = "documents",
+                       id_col: str = "doc_id",
+                       tokens_col: str = "n_tokens") -> str:
+    """DuckDB replay of :func:`pack_sequences` over a CTE/view exposing
+    (id, n_tokens): same salted hashes, same window arithmetic."""
+    hb = _hash_ppm(id_col, "packbkt", "duck")
+    ho = _hash_ppm(id_col, "packord", "duck")
+    return f"""
+SELECT * EXCLUDE (_oh), (pack_offset + {tokens_col} - 1) // {budget} > pack_ix AS spans_packs
+FROM (
+  SELECT *,
+    CAST(coalesce(sum({tokens_col}) OVER (
+      PARTITION BY bucket ORDER BY _oh, {id_col}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS pack_offset,
+    CAST(coalesce(sum({tokens_col}) OVER (
+      PARTITION BY bucket ORDER BY _oh, {id_col}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      // {budget} AS pack_ix,
+    bucket * CAST(4294967296 AS BIGINT) +
+      CAST(coalesce(sum({tokens_col}) OVER (
+        PARTITION BY bucket ORDER BY _oh, {id_col}
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      // {budget} AS pack_id,
+    CAST(coalesce(sum({tokens_col}) OVER (
+      PARTITION BY bucket ORDER BY _oh, {id_col}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      % {budget} AS offset_in_pack
+  FROM (
+    SELECT *, CAST(({hb}) % {n_buckets} AS INT) AS bucket, ({ho}) AS _oh
+    FROM {docs_cte}
+  )
+)"""

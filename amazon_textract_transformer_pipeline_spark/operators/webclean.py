@@ -217,6 +217,38 @@ def filter_blocked_domains(docs: DataFrame, blocklist: DataFrame,
     )
 
 
+def latest_per_canonical_url(docs: DataFrame, url_col: str = "url",
+                             ts_col: str = "ts_us",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Cross-snapshot URL deduplication: canonicalize the url, keep the
+    newest capture per canonical url (ties broken to the highest id —
+    deterministic when two snapshots share a timestamp). The standard
+    first pass when several crawl snapshots of the same web are merged
+    (CCNet dedups at this grain before any content hashing).
+
+    ``ts_col`` is an epoch-microseconds BIGINT — the engine's portable
+    timestamp grain (raw timestamp columns hash engine-dependently).
+    Returns (url_canon, keeper_id, keeper_ts_us, n_versions).
+
+    Scale shape: ONE shuffle on the canonical url with a map-side
+    max_by partial (no window sort, no row_number); host skew is real
+    at this grain — a hot site's many paths are DIFFERENT canon urls,
+    so the key is fine-grained enough that AQE's skew split handles the
+    tail without salting.
+    """
+    canon = docs.withColumn(
+        "url_canon", F.expr(canonical_url_sql(url_col, "spark")))
+    return (
+        canon.groupBy("url_canon")
+        .agg(
+            F.max_by(id_col, F.struct(F.col(ts_col), F.col(id_col)))
+            .alias("keeper_id"),
+            F.max(ts_col).cast("bigint").alias("keeper_ts_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+        )
+    )
+
+
 def dedup_text_spans(docs: DataFrame, n_sent: int = 3,
                      id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:

@@ -222,3 +222,84 @@ def test_corpus_filter_reason_precedence(spark):
     # every stage fires somewhere in the gate corpus
     assert {"blocked_domain", "language", "gopher_quality", "c4_cleaning",
             "dsir_sampled_out"} <= set(out.drop_reason.dropna())
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_invariants(spark):
+    from amazon_textract_transformer_pipeline_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).cast("bigint").alias("n_tokens"))
+    out = pack_sequences(docs, budget=64, n_buckets=4).toPandas()
+    assert len(out) == 300
+    assert set(out.bucket) <= {0, 1, 2, 3}
+    # within a bucket, offsets are the running sum in (_hash, id) order —
+    # i.e. sorted by offset, each doc starts where the previous ended
+    for b, g in out.groupby("bucket"):
+        g = g.sort_values("pack_offset")
+        ends = (g.pack_offset + g.n_tokens).shift(1).fillna(0)
+        assert (g.pack_offset == ends).all()
+    assert (out.pack_ix == out.pack_offset // 64).all()
+    assert (out.offset_in_pack == out.pack_offset % 64).all()
+    assert (out.spans_packs == ((out.pack_offset + out.n_tokens - 1) // 64
+                                > out.pack_ix)).all()
+    # global pack ids never collide across buckets
+    assert (out.pack_id == out.bucket * 2**32 + out.pack_ix).all()
+
+
+def test_pack_sequences_single_shuffle(spark):
+    from amazon_textract_transformer_pipeline_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(10).cast("bigint").alias("n_tokens"))
+    plan = pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pack_sequences_deterministic(spark):
+    from amazon_textract_transformer_pipeline_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 11 + 1).cast("bigint").alias("n_tokens"))
+    a = pack_sequences(docs, budget=32, n_buckets=2).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = pack_sequences(docs.repartition(7), budget=32, n_buckets=2) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # layout independent of input partitioning
+
+
+# ---------------------------------------------------------------------------
+# cross-snapshot URL dedup
+# ---------------------------------------------------------------------------
+
+def test_latest_per_canonical_url(spark):
+    from amazon_textract_transformer_pipeline_spark.operators.webclean import (
+        latest_per_canonical_url,
+    )
+
+    rows = [
+        (1, "HTTP://WWW.A.com/x", 100),
+        (2, "http://a.com/x", 300),      # same canon, newest -> keeper
+        (3, "http://a.com/x?utm_source=z", 200),
+        (4, "http://b.com/y", 50),
+        (5, "http://B.com/y", 50),       # tie ts -> higher id wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts_us long")
+    out = {r["url_canon"]: r
+           for r in latest_per_canonical_url(df).collect()}
+    assert set(out) == {"http://a.com/x", "http://b.com/y"}
+    a = out["http://a.com/x"]
+    assert (a["keeper_id"], a["keeper_ts_us"], a["n_versions"]) == (2, 300, 3)
+    b = out["http://b.com/y"]
+    assert (b["keeper_id"], b["keeper_ts_us"], b["n_versions"]) == (5, 50, 2)
