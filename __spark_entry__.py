@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-snapshot URL dedup + sequence packing
         "url_dedup_latest": Q.q_url_dedup_latest,
         "pack_sequences": Q.q_pack_sequences,
+        # crawl-policy metadata (robots/canonical/title/refresh)
+        "html_meta": Q.q_html_meta,
         # exact-value via recursive-CTE / closed-form-spec oracles
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
@@ -1249,6 +1251,25 @@ WITH toks AS MATERIALIZED (
   FROM documents
 )
 {packing_oracle_sql(512, 8, docs_cte='toks')}"""
+
+    # html_meta oracle: fully closed-form — every planted head signal is
+    # predictable from doc_id; the gate passes only if the real parser
+    # (attr casing/quoting, token trimming, 'none' implication, rel token
+    # lists, url= slicing, entity-decoded titles) recovers it exactly.
+    sqls["html_meta"] = """
+SELECT doc_id,
+  concat('Doc ', cast(doc_id AS varchar), ' & friends') AS title,
+  (doc_id % 4) IN (1, 2, 3) AS robots_noindex,
+  (doc_id % 4) IN (1, 3) AS robots_nofollow,
+  CASE WHEN doc_id % 5 = 0
+       THEN 'https://canon.example/p/' || cast(doc_id % 50 AS varchar)
+  END AS canonical_href,
+  CASE WHEN doc_id % 7 = 0
+       THEN 'https://next.example/' || cast(doc_id AS varchar)
+  END AS refresh_url,
+  CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END +
+       CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS n_meta_tags
+FROM documents"""
 
     # domain_blocklist oracle: fully closed-form — the generated host and
     # the blocked verdict are both predictable from doc_id.

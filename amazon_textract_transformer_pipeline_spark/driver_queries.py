@@ -1100,3 +1100,36 @@ def q_corpus_report(spark, sf_dir) -> DataFrame:
              F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint")
              .alias("n_kept"))
     )
+
+
+def q_html_meta(spark, sf_dir) -> DataFrame:
+    """Crawl-policy metadata over deterministically-planted HTML heads:
+    robots directives (quoted/unquoted/cased/padded, 'none' implication),
+    rel-token canonical links, meta-refresh targets, entity-bearing
+    titles. The REAL head parser must recover the closed-form plant.
+    Map-only Arrow stage, zero shuffle."""
+    from .operators.maincontent import html_meta_flags
+
+    s = "cast(doc_id as string)"
+    robots = (
+        "CASE WHEN doc_id % 4 = 1 THEN "
+        "'<meta name=\"robots\" content=\"noindex, nofollow\">' "
+        "WHEN doc_id % 4 = 2 THEN "
+        "'<META NAME=\"ROBOTS\" CONTENT=\" NOINDEX \">' "
+        "WHEN doc_id % 4 = 3 THEN '<meta name=robots content=none>' "
+        "ELSE '' END")
+    canonical = (
+        f"CASE WHEN doc_id % 5 = 0 THEN concat("
+        f"'<link rel=\"Canonical alternate\" "
+        f"href=\"https://canon.example/p/', cast(doc_id % 50 as string), "
+        f"'\">') ELSE '' END")
+    refresh = (
+        f"CASE WHEN doc_id % 7 = 0 THEN concat("
+        f"'<meta http-equiv=\"Refresh\" content=\"5; "
+        f"URL=https://next.example/', {s}, '\">') ELSE '' END")
+    title = f"concat('<title> Doc ', {s}, ' &amp;  friends </title>')"
+    html = (f"concat('<html><head>', {robots}, {canonical}, {refresh}, "
+            f"{title}, '</head><body><p>x</p></body></html>')")
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.expr(html), "UTF-8").alias("html"))
+    return html_meta_flags(pages, id_col="doc_id")

@@ -36,6 +36,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     StringType,
     StructField,
@@ -278,3 +279,139 @@ def extract_main_content(pages_df: DataFrame,
     """(id, html) → (id, n_blocks, n_content_blocks, main_text)."""
     return main_content_text(
         classify_blocks(html_to_blocks(pages_df, id_col), id_col), id_col)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-policy metadata: robots directives, canonical link, title, refresh
+# ---------------------------------------------------------------------------
+
+class _MetaParser(HTMLParser):
+    """HTML → crawl-policy signals a corpus pipeline must respect before
+    a page may enter a training set: robots meta directives (noindex
+    pages are excluded by every published CC-derived corpus policy),
+    the canonical link (the dedup key the SITE declares, stronger than
+    URL canonicalization), the title, and a meta-refresh redirect
+    target (crawlers treat it as a redirect — the page body is a shell).
+
+    Pinned semantics:
+
+    * robots: every ``<meta name=robots content=...>`` in the document
+      contributes (directives union across tags); tokens split on
+      commas, trimmed, lowercased; ``none`` implies both noindex and
+      nofollow (robots.txt spec).
+    * canonical: the FIRST ``<link rel=... href=...>`` whose rel token
+      list contains ``canonical`` (case-insensitive); href kept verbatim
+      (no base-href resolution — that is a join against the url column,
+      not a parser concern).
+    * title: first ``<title>`` with non-whitespace text, inner
+      whitespace collapsed.
+    * refresh: first ``<meta http-equiv=refresh>`` whose content has a
+      ``url=`` part (case-insensitive); target kept verbatim.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.directives: set[str] = set()
+        self.canonical: str | None = None
+        self.title: str | None = None
+        self.refresh_url: str | None = None
+        self._in_title = False
+        self._title_parts: list[str] = []
+        self.n_meta = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        a = {k.lower(): (v or "") for k, v in attrs}
+        if tag == "meta":
+            self.n_meta += 1
+            name = a.get("name", "").strip().lower()
+            if name == "robots":
+                for tok in a.get("content", "").split(","):
+                    t = tok.strip().lower()
+                    if t:
+                        self.directives.add(t)
+            elif a.get("http-equiv", "").strip().lower() == "refresh" \
+                    and self.refresh_url is None:
+                content = a.get("content", "")
+                low = content.lower()
+                at = low.find("url=")
+                if at >= 0:
+                    self.refresh_url = content[at + 4:].strip() or None
+        elif tag == "link" and self.canonical is None:
+            rels = a.get("rel", "").lower().split()
+            if "canonical" in rels and a.get("href"):
+                self.canonical = a["href"]
+        elif tag == "title" and self.title is None:
+            self._in_title = True
+            self._title_parts = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            t = " ".join("".join(self._title_parts).split())
+            if t and self.title is None:
+                self.title = t
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self._title_parts.append(data)
+
+
+def parse_meta(html_bytes) -> dict:
+    """One document's crawl-policy signals (dict of the output columns)."""
+    from ..functions.charset import decode_html
+
+    p = _MetaParser()
+    if html_bytes is not None:
+        p.feed(decode_html(html_bytes))
+        p.close()
+    d = p.directives
+    return {
+        "title": p.title,
+        "robots_noindex": "noindex" in d or "none" in d,
+        "robots_nofollow": "nofollow" in d or "none" in d,
+        "canonical_href": p.canonical,
+        "refresh_url": p.refresh_url,
+        "n_meta_tags": p.n_meta,
+    }
+
+
+_META_FIELDS = [
+    StructField("title", StringType(), True),
+    StructField("robots_noindex", BooleanType(), False),
+    StructField("robots_nofollow", BooleanType(), False),
+    StructField("canonical_href", StringType(), True),
+    StructField("refresh_url", StringType(), True),
+    StructField("n_meta_tags", IntegerType(), False),
+]
+
+
+def html_meta_flags(pages_df: DataFrame, id_col: str = "url") -> DataFrame:
+    """(id, html) → one row per document with the crawl-policy columns.
+    Same sanctioned Arrow family as :func:`html_to_blocks`: map-only,
+    batch-amortized, zero shuffle — at corpus scale the noindex/refresh
+    filter runs inside the scan stage before anything shuffles."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = StructType(
+        [StructField(id_col, pages_df.schema[id_col].dataType, False)]
+        + _META_FIELDS)
+    arrow_schema = to_arrow_schema(schema)
+    names = [f.name for f in _META_FIELDS]
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            ids = b.column(b.schema.get_field_index(id_col)).to_pylist()
+            htmls = b.column(b.schema.get_field_index("html")).to_pylist()
+            cols: dict[str, list] = {n: [] for n in names}
+            for h in htmls:
+                m = parse_meta(h)
+                for n in names:
+                    cols[n].append(m[n])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=arrow_schema.field(0).type)]
+                + [pa.array(cols[n], type=arrow_schema.field(i + 1).type)
+                   for i, n in enumerate(names)],
+                schema=arrow_schema)
+
+    return pages_df.select(id_col, "html").mapInArrow(run, schema=schema)

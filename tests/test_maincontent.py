@@ -153,3 +153,69 @@ def test_classify_plan_single_shuffle(spark):
     plan = classify_blocks(html_to_blocks(df))._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") == 1  # one per-doc window shuffle only
+
+
+# ---------------------------------------------------------------------------
+# crawl-policy metadata (robots/canonical/title/refresh)
+# ---------------------------------------------------------------------------
+
+def test_parse_meta_pinned_cases():
+    from amazon_textract_transformer_pipeline_spark.operators.maincontent import (
+        parse_meta,
+    )
+
+    m = parse_meta(b"""<html><head>
+      <meta name='Robots' content='NOINDEX , noarchive'>
+      <meta name=robots content=nofollow>
+      <link rel="alternate canonical" href="https://c.example/1">
+      <link rel="canonical" href="https://c.example/2">
+      <meta http-equiv=refresh content="0;URL=https://r.example/x">
+      <meta http-equiv=refresh content="9;url=https://r.example/late">
+      <title>One
+        Two</title><title>ignored</title>
+      </head><body><p>hi</p></body></html>""")
+    assert m["robots_noindex"] and m["robots_nofollow"]
+    assert m["canonical_href"] == "https://c.example/1"  # first rel match
+    assert m["refresh_url"] == "https://r.example/x"     # first refresh
+    assert m["title"] == "One Two"                       # collapsed ws
+    assert m["n_meta_tags"] == 4
+
+
+def test_parse_meta_none_and_hostile():
+    from amazon_textract_transformer_pipeline_spark.operators.maincontent import (
+        parse_meta,
+    )
+
+    # 'none' implies both directives (robots spec)
+    m = parse_meta(b"<meta name=robots content=none>")
+    assert m["robots_noindex"] and m["robots_nofollow"]
+    # hostile: None bytes, garbage, unclosed tags, refresh without url=,
+    # link without href, empty title — all degrade to clean defaults
+    for blob in (None, b"", b"\xff\xfe garbage \x00",
+                 b"<meta name=robots>", b"<title></title>",
+                 b"<meta http-equiv=refresh content='5'>",
+                 b"<link rel=canonical>", b"<head><title>x"):
+        m = parse_meta(blob)
+        assert m["robots_noindex"] is False
+        assert m["robots_nofollow"] is False
+        assert m["canonical_href"] is None
+        assert m["refresh_url"] is None
+    # unclosed title never flushes -> None; meta in body still counts
+    m = parse_meta(b"<body><meta name=ROBOTS content=' NoFollow '></body>")
+    assert m["robots_nofollow"] and not m["robots_noindex"]
+
+
+def test_html_meta_flags_zero_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from amazon_textract_transformer_pipeline_spark.operators.maincontent import (
+        html_meta_flags,
+    )
+
+    pages = spark.range(10).select(
+        F.col("id").alias("url"),
+        F.encode(F.lit("<title>t</title>"), "UTF-8").alias("html"))
+    df = html_meta_flags(pages)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert df.count() == 10  # one row per doc, even meta-less ones
