@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": Q.q_pack_sequences,
         # crawl-policy metadata (robots/canonical/title/refresh)
         "html_meta": Q.q_html_meta,
+        # corpus vocabulary head (tokenizer/stopword-fit input)
+        "vocab_top_k": Q.q_vocab_top_k,
         # exact-value via recursive-CTE / closed-form-spec oracles
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
@@ -1251,6 +1253,23 @@ WITH toks AS MATERIALIZED (
   FROM documents
 )
 {packing_oracle_sql(512, 8, docs_cte='toks')}"""
+
+    # vocab_top_k oracle: same token aggregate + deterministic
+    # (count desc, token asc) rank in DuckDB.
+    sqls["vocab_top_k"] = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id AS _doc, unnest({X.words('text', 'duck')}) AS token
+  FROM documents
+),
+c AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT _doc) AS BIGINT) AS n_docs
+  FROM tok GROUP BY token
+)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC)
+            AS BIGINT) AS vocab_rank,
+       token, n_occurrences, n_docs
+FROM c ORDER BY n_occurrences DESC, token ASC LIMIT 200"""
 
     # html_meta oracle: fully closed-form — every planted head signal is
     # predictable from doc_id; the gate passes only if the real parser

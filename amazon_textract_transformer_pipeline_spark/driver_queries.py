@@ -1133,3 +1133,13 @@ def q_html_meta(spark, sf_dir) -> DataFrame:
     pages = _docs(spark, sf_dir).select(
         "doc_id", F.encode(F.expr(html), "UTF-8").alias("html"))
     return html_meta_flags(pages, id_col="doc_id")
+
+
+def q_vocab_top_k(spark, sf_dir) -> DataFrame:
+    """Corpus vocabulary head: top-200 whitespace tokens by occurrence
+    count with document frequency and a deterministic (count desc,
+    token asc) rank. One map-side-partial token aggregate + a k-row
+    top-k — exact against the identical window in DuckDB."""
+    from .operators.textstats import vocab_top_k
+
+    return vocab_top_k(_docs(spark, sf_dir), k=200)

@@ -178,6 +178,40 @@ def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", F.expr(langid_argmax_case()))
 
 
+def vocab_top_k(docs: DataFrame, k: int = 1000,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent whitespace tokens
+    with counts, document frequency, and corpus-coverage rank — the
+    relation a tokenizer-training or stopword-fitting step starts from.
+
+    Determinism: rank orders by (count desc, token asc) so ties are
+    stable across engines and runs. Output
+    (vocab_rank, token, n_occurrences, n_docs).
+
+    Scale shape: one (token) hash aggregate with map-side partials over
+    the exploded words (the uniform-key shuffle every word-count has),
+    then a k-row TakeOrderedAndProject — no full sort, no window over
+    the whole vocabulary (the k-row result is where the row_number
+    runs). Document frequency rides the same aggregate via a per-doc
+    distinct before the explode leaves the map side.
+    """
+    from pyspark.sql import Window
+
+    ws = X.words(text_col, "spark")
+    tok = docs.select(F.col(id_col).alias("_doc"),
+                      F.explode(F.expr(ws)).alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("_doc").cast("bigint").alias("n_docs"))
+    top = counts.orderBy(F.col("n_occurrences").desc(),
+                         F.col("token").asc()).limit(int(k))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("vocab_rank"),
+        "token", "n_occurrences", "n_docs")
+
+
 def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     q = quality_exprs(text_col, "spark")
     out = docs

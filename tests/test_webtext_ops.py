@@ -443,3 +443,22 @@ def test_c4_line_filters(spark):
     assert not out[2].c4_pass        # curly brace kills the page
     assert not out[3].c4_pass and out[3].c4_kept_text == ""
     assert not out[4].c4_pass        # '}' of either kind (Raffel §2.2)
+
+
+def test_vocab_top_k(spark):
+    from pyspark.sql import functions as F
+
+    from amazon_textract_transformer_pipeline_spark.operators.textstats import (
+        vocab_top_k,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b b c c c"), (2, "c b"), (3, "")],
+        "doc_id long, text string")
+    rows = vocab_top_k(docs, k=2).collect()
+    assert [(r["vocab_rank"], r["token"], r["n_occurrences"], r["n_docs"])
+            for r in rows] == [(1, "c", 4, 2), (2, "b", 3, 2)]
+    # ties order by token asc: a vs d both count 1
+    docs2 = spark.createDataFrame([(1, "d a")], "doc_id long, text string")
+    rows2 = vocab_top_k(docs2, k=2).collect()
+    assert [r["token"] for r in rows2] == ["a", "d"]
