@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": Q.q_html_meta,
         # corpus vocabulary head (tokenizer/stopword-fit input)
         "vocab_top_k": Q.q_vocab_top_k,
+        # surgical decontamination (mask matched spans, keep the doc)
+        "decontaminate_mask": Q.q_decontaminate_mask,
         # exact-value via recursive-CTE / closed-form-spec oracles
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
@@ -1253,6 +1255,64 @@ WITH toks AS MATERIALIZED (
   FROM documents
 )
 {packing_oracle_sql(512, 8, docs_cte='toks')}"""
+
+    # decontaminate_mask oracle: positional 13-gram probe against the
+    # same planted blocklist, covered-position union, ordered reassembly.
+    sqls["decontaminate_mask"] = f"""
+WITH docw AS MATERIALIZED (
+  SELECT doc_id, {dw} AS ws FROM documents
+),
+bl AS MATERIALIZED (
+  SELECT doc_id, array_to_string(list_slice({dw}, 6, 26), ' ') AS text
+  FROM documents WHERE doc_id % 17 = 3
+),
+bsh AS MATERIALIZED (
+  SELECT DISTINCT {X.h64('s', 'duck')} AS gh FROM (
+    SELECT unnest({X.shingles(X.words('text', 'duck'), 13, 'duck')}) AS s
+    FROM bl)
+),
+pg AS MATERIALIZED (
+  SELECT doc_id, u.pos AS pos, {X.h64('u.gram', 'duck')} AS gh FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len(ws) - 12),
+      i -> {{'pos': i,
+             'gram': array_to_string(list_slice(ws, i + 1, i + 13), ' ')}}))
+      AS u
+    FROM docw WHERE len(ws) >= 13)
+),
+m AS MATERIALIZED (
+  SELECT doc_id, pos FROM pg JOIN bsh USING (gh)
+),
+cov AS (
+  SELECT DISTINCT doc_id, wpos FROM (
+    SELECT doc_id, unnest(range(pos, pos + 13)) AS wpos FROM m)
+),
+w AS (
+  SELECT doc_id, u.wpos AS wpos, u.word AS word FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+      i -> {{'wpos': i, 'word': ws[i + 1]}})) AS u
+    FROM docw)
+),
+kept AS (
+  SELECT w.doc_id, w.wpos, w.word
+  FROM w LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.wpos = w.wpos
+  WHERE cov.wpos IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS kept_text,
+         CAST(count(*) AS BIGINT) AS nk
+  FROM kept GROUP BY doc_id
+),
+sp AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched_spans
+  FROM m GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.kept_text, '') AS kept_text,
+       CAST(len(d.ws) AS BIGINT) AS n_words,
+       CAST(len(d.ws) - coalesce(a.nk, 0) AS BIGINT) AS n_words_removed,
+       coalesce(s.n_matched_spans, CAST(0 AS BIGINT)) AS n_matched_spans
+FROM docw d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+LEFT JOIN sp s ON s.doc_id = d.doc_id"""
 
     # vocab_top_k oracle: same token aggregate + deterministic
     # (count desc, token asc) rank in DuckDB.

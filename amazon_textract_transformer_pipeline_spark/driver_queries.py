@@ -1143,3 +1143,15 @@ def q_vocab_top_k(spark, sf_dir) -> DataFrame:
     from .operators.textstats import vocab_top_k
 
     return vocab_top_k(_docs(spark, sf_dir), k=200)
+
+
+def q_decontaminate_mask(spark, sf_dir) -> DataFrame:
+    """Surgical decontamination over the same planted eval set as
+    q_decontaminate: matched 13-gram spans are cut out word-exactly
+    (overlap union, original order preserved) instead of dropping the
+    document. Exact against the positional replay in DuckDB."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ws = X.words("text", "spark")
+    bl = docs.filter("doc_id % 17 = 3").select(
+        "doc_id", F.expr(f"concat_ws(' ', slice({ws}, 6, 21))").alias("text"))
+    return dedup.decontaminate_mask(docs, bl)

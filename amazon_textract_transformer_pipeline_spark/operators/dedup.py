@@ -345,6 +345,77 @@ def decontaminate(docs: DataFrame, blocklist: DataFrame,
                      id_col, "left_anti")
 
 
+def decontaminate_mask(docs: DataFrame, blocklist: DataFrame,
+                       n: int = DECONTAM_NGRAM, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Surgical decontamination: instead of dropping a contaminated
+    document (:func:`decontaminate`), remove exactly the words covered
+    by any ``n``-gram shared with the blocklist — the masking variant
+    several released corpora use so one quoted benchmark question does
+    not cost an otherwise-good long document.
+
+    Semantics (pinned, replayed exactly by the DuckDB oracle):
+
+    * a *matched span* is a corpus word ``n``-gram (positions tracked,
+      0-based) whose space-joined text hashes into the blocklist's
+      distinct shingle-hash set (same gram construction as
+      :func:`decontamination_flags` — blocklist docs shorter than ``n``
+      fall back to whole-text shingles);
+    * covered word positions = the union of all matched spans
+      (overlapping spans never double-count a word);
+    * ``kept_text`` = surviving words in original order; every input
+      doc keeps a row; docs with < ``n`` words emit no grams and pass
+      through intact.
+
+    Scale shape: the probe is the same single uniform-hash shuffle join
+    as decontamination_flags (never force-broadcast the blocklist — a
+    full eval suite is millions of grams); covered-position dedup,
+    word anti-join, and reassembly are all doc-grain keys.
+    """
+    bad = (
+        shingle_rows(blocklist, n, id_col, text_col)
+        .select(F.expr(X.h64("shingle", "spark")).alias("gh"))
+        .distinct()
+    )
+    ws = X.words(text_col, "spark")
+    base = docs.select(id_col, F.expr(ws).alias("ws"))
+    grams = (
+        base.filter(F.expr(f"size(ws) >= {n}"))
+        .select(id_col, F.posexplode(F.expr(
+            f"transform(sequence(0, size(ws) - {n}), "
+            f"i -> concat_ws(' ', slice(ws, i + 1, {n})))"))
+            .alias("pos", "gram"))
+        .withColumn("gh", F.expr(X.h64("gram", "spark")))
+    )
+    matched = grams.join(bad, "gh").select(id_col, "pos")
+    covered = matched.select(
+        id_col,
+        F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("wpos"),
+    ).distinct()
+    words = base.select(id_col, F.posexplode("ws").alias("wpos", "word"))
+    kept = words.join(covered, [id_col, "wpos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.expr("concat_ws(' ', transform(array_sort(collect_list("
+               "struct(wpos, word))), x -> x.word))").alias("kept_text"),
+        F.count("*").cast("bigint").alias("n_words_kept"))
+    spans = matched.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_matched_spans"))
+    n_in = base.select(
+        id_col, F.expr("cast(size(ws) as bigint)").alias("n_words"))
+    return (
+        n_in.join(agg, id_col, "left").join(spans, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            "n_words",
+            (F.col("n_words") - F.coalesce("n_words_kept", F.lit(0)))
+            .cast("bigint").alias("n_words_removed"),
+            F.coalesce("n_matched_spans", F.lit(0)).cast("bigint")
+            .alias("n_matched_spans"),
+        )
+    )
+
+
 def connected_components(pairs: DataFrame, a_col: str = "a",
                          b_col: str = "b",
                          max_iter: int = 20) -> DataFrame:

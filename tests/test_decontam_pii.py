@@ -98,3 +98,26 @@ def test_pii_scrub_sequential_semantics(spark):
     assert r.n_email == 1 and r.n_id_number == 0 and r.n_phone == 0
     assert r.text_scrubbed == "mail <EMAIL> end"
     assert r.pii_total == 1
+
+
+def test_decontaminate_mask_overlap_and_passthrough(spark):
+    from amazon_textract_transformer_pipeline_spark.operators.dedup import (
+        decontaminate_mask,
+    )
+
+    # 3-gram masking: doc 1 contains 'b c d' AND 'c d e' (overlapping
+    # matches) -> covered union is b..e, never double-counted; doc 2 is
+    # clean; doc 3 is shorter than n and passes through intact.
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z w v u"), (3, "b c")],
+        "doc_id long, text string")
+    bl = spark.createDataFrame(
+        [(100, "b c d"), (101, "c d e")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decontaminate_mask(docs, bl, n=3).collect()}
+    assert out[1]["kept_text"] == "a f"
+    assert out[1]["n_words_removed"] == 4
+    assert out[1]["n_matched_spans"] == 2
+    assert out[2]["kept_text"] == "x y z w v u"
+    assert out[2]["n_words_removed"] == 0
+    assert out[3]["kept_text"] == "b c"   # < n words: no grams, intact
+    assert out[3]["n_matched_spans"] == 0
