@@ -514,19 +514,19 @@ e2e runs, report the best. This invocation:
   (all runs this invocation: {headline.get('runs_sec')} s)
 - per-query timings (s): {json.dumps(headline['queries'])}
 
-**Committed headline: 1900-3200 docs/sec** (unchanged from round 4 —
-the e2e extraction path is code-identical this round, verified by
-`git diff r4..r5` over frontend/assembly/enrich/entities/consolidate/
-pipeline/session: zero changes). Round-5 protocol invocations measured
-best walls 8.128 / 9.130 / 10.230 s (= 2461 / 2191 / 1954 docs/sec),
-all inside the band but clustered toward its contended half: the shared
-box carried a persistent co-tenant load (load-avg 2-3 through most of
-the session vs ~0 in round-4's fast windows; round 4's eight
-invocations on the same code measured 2669-3109 uncontended plus one
-contended 1980). The round-4 "+6-8% regressions" on extract_text /
-entity_mentions re-measured BELOW their r3 values in this round's
-cleanest invocation (2.81 s and 3.87 s vs r3's 2.92 / 4.13) —
-confirmed contention noise, not code regression.
+**Committed headline: 1900-3200 docs/sec** (unchanged since round 4 —
+the e2e extraction path is code-identical this round too: `git diff
+r5..r6` over frontend/assembly/enrich/entities/consolidate/pipeline/
+sources touches nothing, and session.py only gained the codec-backend
+env propagation + a one-line startup report, no plan change). Round-6
+work is additive: eleven new oracle-gated corpus operators (composition
+sampling, packing, surgical decontamination, crawl-policy metadata,
+vocabulary head, intra-doc line dedup, composed corpus filter + report,
+URL snapshot dedup) that ride their own queries, not the headline path.
+Round-5 history: protocol invocations 2461/2191/1954 docs/sec in a
+contended window (load 2-3) vs round-4's uncontended 2669-3109; the
+suspected r4 regressions re-measured below r3 values in r5's cleanest
+window — closed as contention noise.
 
 Reference baseline: the reference architecture is bounded at O(1-10)
 docs/sec per deployment (90-job Textract concurrency cap — BASELINE.md);
