@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": Q.q_simhash,
         "simhash_hamming_consecutive": Q.q_simhash_hamming_consecutive,
         "embedding_cosine_consecutive": Q.q_embedding_cosine_consecutive,
+        # SemDedup: clustered embedding-cosine dedup (planted-copy corpus)
+        "semantic_dedup": Q.q_semantic_dedup,
         # similarity search
         "ann_bruteforce_topk": Q.q_ann_bruteforce_topk,
         "ann_lsh_topk": Q.q_ann_lsh_topk,
@@ -120,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_span_dedup": Q.q_c4_span_dedup,
         # CCNet-style LM perplexity quality scoring (stupid backoff)
         "lm_perplexity": Q.q_lm_perplexity,
+        # GPT-3-style NB corpus-selection classifier (train + score)
+        "quality_nb": Q.q_quality_nb,
         # UT1-style domain blocklist filter (suffix-match semi-join)
         "domain_blocklist": Q.q_domain_blocklist,
         # corpus composition: intra-doc line dedup, mixture sampling,
@@ -369,6 +373,55 @@ FROM s s1 JOIN s s2 ON s2.doc_id = s1.doc_id + 1""",
 SELECT e1.vec_id AS a, e2.vec_id AS b,
   round(round({X.cosine('e1.embedding', 'e2.embedding', 'duck')}, 9), 6) AS cos
 FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1""",
+        # SemDedup (Abbas et al. 2023) over the planted corpus: replay the
+        # pinned semantics exactly — seed centroids (id%25==0), nearest-
+        # centroid assignment (cos9 desc, cent_id asc; NULL -> -2), rank
+        # ASC within cluster (farthest-from-centroid kept first), witness =
+        # earliest-ranked earlier member with cos9 >= 0.95.
+        "semantic_dedup": f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 25 = 1
+  UNION ALL
+  SELECT vec_id + 20000, embedding FROM embeddings WHERE vec_id % 50 = 1
+  UNION ALL
+  SELECT 30000::BIGINT AS vec_id,
+         list_transform(embedding, v -> 0.0::FLOAT) AS embedding
+  FROM embeddings WHERE vec_id = 0
+),
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS centv FROM corpus WHERE vec_id % 25 = 0
+),
+scored AS (
+  SELECT c.vec_id, c.embedding AS v, k.cent_id,
+         round({X.cosine('c.embedding', 'k.centv', 'duck')}, 9) AS cos9
+  FROM corpus c CROSS JOIN cents k
+),
+assigned AS (
+  SELECT vec_id, v, cent_id AS cluster_id, cos9 AS cent_cos,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY coalesce(cos9, -2.0) DESC, cent_id ASC) AS rn
+  FROM scored
+),
+members AS (
+  SELECT vec_id, v, cluster_id, cent_cos,
+         row_number() OVER (PARTITION BY cluster_id
+           ORDER BY coalesce(cent_cos, -2.0) ASC, vec_id ASC) AS cluster_rank
+  FROM assigned WHERE rn = 1
+),
+dups AS (
+  SELECT d.vec_id, min_by(w.vec_id, w.cluster_rank) AS dup_of
+  FROM members w JOIN members d USING (cluster_id)
+  WHERE w.cluster_rank < d.cluster_rank AND w.cluster_rank <= 10000
+    AND round({X.cosine('w.v', 'd.v', 'duck')}, 9) >= 0.95
+  GROUP BY d.vec_id
+)
+SELECT m.vec_id, m.cluster_id, round(m.cent_cos, 6) AS cent_cos,
+       CAST(m.cluster_rank AS INT) AS cluster_rank,
+       (p.dup_of IS NOT NULL) AS is_dup, p.dup_of,
+       (p.dup_of IS NULL) AS kept
+FROM members m LEFT JOIN dups p ON p.vec_id = m.vec_id""",
         "ann_bruteforce_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id % 100 = 0),
@@ -1101,6 +1154,22 @@ SELECT d.doc_id,
   {ppl} AS perplexity,
   {ppl_bucket_sql(ppl)} AS ppl_bucket
 FROM documents d LEFT JOIN lma a ON a.doc_id = d.doc_id"""
+
+    # quality_nb oracle: the same smoothed multinomial NB trained and
+    # scored in DuckDB (operators/quality.py builds the SQL so constants
+    # and formula stay single-sourced).
+    from amazon_textract_transformer_pipeline_spark.driver_queries import (
+        NB_LABEL_SQL,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.quality import (
+        nb_oracle_sql,
+    )
+
+    sqls["quality_nb"] = nb_oracle_sql(
+        labeled_cte=(f"SELECT doc_id, text, {NB_LABEL_SQL} AS is_hq "
+                     f"FROM documents WHERE doc_id % 2 = 0"),
+        score_cte="SELECT doc_id, text FROM documents",
+    )
 
     # doc_line_dedup oracle: same builder + same deterministic line-laden
     # text (indexed-lambda keep-first filter in both dialects).

@@ -345,6 +345,42 @@ def q_embedding_cosine_consecutive(spark, sf_dir) -> DataFrame:
         "a", "b", F.round("cos", 6).alias("cos"))
 
 
+def semantic_corpus(embs: DataFrame) -> DataFrame:
+    """Gate corpus for SemDedup: the natural embeddings are near-random
+    (max pairwise cosine ~0.51 at sf0.01), so duplicate structure is
+    planted deterministically — exact copies at +10000 for vec_id%25==1
+    (20 pairs) and a second copy at +20000 for vec_id%50==1 (10 triples,
+    exercising earliest-witness selection), plus one zero-norm vector at
+    id 30000 (NULL-cosine paths; 30000%25==0 also makes it a centroid,
+    exercising the unscorable-centroid branch)."""
+    base = embs.select("vec_id", "embedding")
+    c1 = base.filter("vec_id % 25 = 1").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    c2 = base.filter("vec_id % 50 = 1").select(
+        (F.col("vec_id") + 20000).alias("vec_id"), "embedding")
+    z = base.filter("vec_id = 0").select(
+        F.lit(30000).cast("long").alias("vec_id"),
+        F.expr("transform(embedding, v -> cast(0.0 as float))")
+        .alias("embedding"))
+    return base.unionByName(c1).unionByName(c2).unionByName(z)
+
+
+def q_semantic_dedup(spark, sf_dir) -> DataFrame:
+    """SemDedup over the planted corpus: every +10000/+20000 copy must be
+    flagged with its source as the witness (identical vectors share the
+    cluster and the source out-ranks them by vec_id tie-break); natural
+    vectors all survive at 0.95 (max natural cosine ~0.51); the zero-norm
+    vector neither flags nor is flagged. Exact against the identical
+    centroid-assignment + rank + witness construction in DuckDB."""
+    out = dedup.semantic_dedup(
+        semantic_corpus(_embs(spark, sf_dir)),
+        threshold=0.95, centroid_every=25)
+    return out.select(
+        "vec_id", "cluster_id", F.round("cent_cos", 6).alias("cent_cos"),
+        F.col("cluster_rank").cast("int").alias("cluster_rank"),
+        "is_dup", "dup_of", "kept")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -735,6 +771,29 @@ def q_lm_perplexity(spark, sf_dir) -> DataFrame:
     uni, big, tot = train_bigram_lm(ref)
     return with_ppl_bucket(perplexity_score(docs, uni, big, tot)).select(
         "doc_id", "n_pairs", "logprob_sum", "perplexity", "ppl_bucket")
+
+
+#: quality_nb gate: training set = docs with doc_id % 2 == 0, labeled
+#: high-quality when the LOWERCASED text contains ' the ' — a real
+#: lexical signal (not a statistically-identical split), expressible
+#: verbatim in both engines.
+NB_LABEL_SQL = "contains(lower(text), ' the ')"
+
+
+def q_quality_nb(spark, sf_dir) -> DataFrame:
+    """GPT-3-style corpus-selection classifier: multinomial Naive Bayes
+    trained on the even-id half (labeled by a lexical property), log-odds
+    scored for EVERY document. Training = one token-count shuffle;
+    scoring = one shuffle join on the uniform token key + a per-doc agg;
+    the scalar stats row rides a broadcast cross join. Oracle replays
+    the identical smoothed model in DuckDB."""
+    from .operators.quality import nb_quality_score, train_nb
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    labeled = docs.filter("doc_id % 2 = 0").withColumn(
+        "is_hq", F.expr(NB_LABEL_SQL))
+    wc, stats = train_nb(labeled)
+    return nb_quality_score(docs, wc, stats)
 
 
 def c4_span_text_sql() -> str:

@@ -557,6 +557,108 @@ def resolve_near_dup_clusters(docs: DataFrame, pairs: DataFrame,
     )
 
 
+def semantic_dedup(embs: DataFrame, threshold: float = 0.95,
+                   centroids: DataFrame | None = None,
+                   centroid_every: int = 25,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_cluster: int = 10_000) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): semantic deduplication by embedding
+    cosine *within clusters*. Complements the lexical family (exact /
+    MinHash / SimHash): paraphrases and re-encodings share no shingles but
+    sit on top of each other in embedding space.
+
+    Semantics (pinned, replayed exactly by the DuckDB oracle):
+
+    * each vector is assigned to its nearest centroid by cosine (ties →
+      lowest ``cent_id``; an unscorable zero-norm vector sorts below every
+      real score and lands deterministically on the lowest ``cent_id``);
+    * cluster members are ranked by cosine-to-centroid ASCENDING (vec_id
+      tie-break) — the paper keeps, within a duplicate group, the member
+      FARTHEST from the centroid (the outlier carries the information;
+      the ones nearest the centroid are the redundant mass);
+    * a member is a duplicate iff some earlier-ranked member of the same
+      cluster has cosine ≥ ``threshold`` with it; ``dup_of`` is the
+      earliest-ranked such witness. Zero-norm vectors produce NULL
+      cosines, so they never flag and are never flagged.
+
+    ``centroids`` accepts a trained (cent_id, centv) relation (e.g.
+    :func:`~..operators.similarity.kmeans_centroids`); by default the
+    deterministic seed rule ``id % centroid_every == 0`` is used — SemDedup
+    is famously insensitive to clustering quality (the paper uses k-means
+    purely to bound the O(c²) pair scan), and seeds keep the oracle exact.
+
+    Scale shape (100 TB audit): the centroid relation is tiny → broadcast;
+    assignment is one broadcast nested-loop map + a groupBy(vec_id)
+    max_by with map-side partial combine (1 row/vector crosses the wire,
+    not K). The ranked ``members`` relation is localCheckpoint'd — it
+    feeds both witness-join sides, and without the checkpoint Spark
+    recomputes the N×K cosine scoring per reference (3× measured). One
+    LEFT self-join on cluster_id + one groupBy(vec_id) then yields
+    witness-pick and passthrough together (unmatched members aggregate a
+    NULL-ord group, which ``min_by`` skips). Per-cluster pair cost is
+    O(c²) — bounded by sizing K ∝ n (the paper's regime) and hard-capped
+    by ``max_cluster``: only the first ``max_cluster`` ranked members
+    serve as witnesses, so a pathological megacluster costs
+    max_cluster·c, not c² (the spam-cluster guard, same policy as LSH
+    ``max_bucket``).
+
+    Returns one row per input vector: (vec_id, cluster_id, cent_cos,
+    cluster_rank, is_dup, dup_of, kept).
+    """
+    if centroids is None:
+        centroids = embs.filter(F.col(id_col) % centroid_every == 0).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv"))
+    e = embs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    scored = (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("cos9", F.round(F.expr(X.cosine("v", "centv", "spark")), 9))
+    )
+    # total order (score desc, cent_id asc) packed into one max_by key —
+    # deterministic, and partial-aggregates map-side unlike a window sort
+    ord_key = F.struct(
+        F.coalesce(F.col("cos9"), F.lit(-2.0)).alias("c"),
+        (-F.col("cent_id")).alias("t"))
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(F.max_by(F.struct("cent_id", "cos9"), ord_key).alias("best"),
+             F.first("v").alias("v"))
+        .select("vec_id", F.col("best.cent_id").alias("cluster_id"),
+                F.col("best.cos9").alias("cent_cos"), "v")
+    )
+    rank_w = Window.partitionBy("cluster_id").orderBy(
+        F.coalesce(F.col("cent_cos"), F.lit(-2.0)).asc(), F.col("vec_id").asc())
+    # checkpoint: members feeds BOTH witness-join sides — without it Spark
+    # recomputes the N×K assignment cross join per reference (measured 3×
+    # at gate scale before the restructure). One local materialization of
+    # N narrow rows beats re-scoring the corpus against every centroid.
+    members = (
+        assigned.withColumn("cluster_rank", F.row_number().over(rank_w))
+        .localCheckpoint(eager=False)
+    )
+    m1 = members.filter(F.col("cluster_rank") <= max_cluster).select(
+        F.col("cluster_id").alias("w_cluster"), F.col("vec_id").alias("w_id"),
+        F.col("v").alias("wv"), F.col("cluster_rank").alias("w_rank"))
+    # one left join + one agg does witness-pick AND passthrough: unmatched
+    # members keep a NULL-ord group, which min_by skips -> dup_of NULL
+    joined = members.join(
+        m1,
+        (F.col("cluster_id") == F.col("w_cluster"))
+        & (F.col("w_rank") < F.col("cluster_rank"))
+        & (F.round(F.expr(X.cosine("wv", "v", "spark")), 9)
+           >= F.lit(threshold)),
+        "left")
+    return (
+        joined.groupBy("vec_id")
+        .agg(F.first("cluster_id").alias("cluster_id"),
+             F.first("cent_cos").alias("cent_cos"),
+             F.first("cluster_rank").alias("cluster_rank"),
+             F.min_by("w_id", "w_rank").alias("dup_of"))
+        .select("vec_id", "cluster_id", "cent_cos", "cluster_rank",
+                F.col("dup_of").isNotNull().alias("is_dup"), "dup_of",
+                F.col("dup_of").isNull().alias("kept"))
+    )
+
+
 def embedding_near_duplicates(embs: DataFrame, threshold: float | None = 0.98,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding") -> DataFrame:

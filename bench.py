@@ -113,6 +113,8 @@ def bench_queries(spark) -> dict[str, float]:
     # gopher + c4 + dsir in one plan) and deterministic mixture sampling
     timed("corpus_filter", lambda: _force(Q.q_corpus_filter(spark, sf)))
     timed("mixture_sample", lambda: Q.q_mixture_sample(spark, sf).count())
+    timed("semantic_dedup", lambda: _force(Q.q_semantic_dedup(spark, sf)))
+    timed("quality_nb", lambda: _force(Q.q_quality_nb(spark, sf)))
 
     # round-3/4 operators: windowed analytics, WARC ingestion, real-codec
     # decode, native PDF extraction
