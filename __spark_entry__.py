@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_k": Q.q_vocab_top_k,
         # surgical decontamination (mask matched spans, keep the doc)
         "decontaminate_mask": Q.q_decontaminate_mask,
+        # ExactSubstr dedup (corpus-wide first occurrence survives)
+        "exact_substring_dedup": Q.q_exact_substring_dedup,
         # exact-value via recursive-CTE / closed-form-spec oracles
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
@@ -1354,6 +1356,66 @@ m AS MATERIALIZED (
 cov AS (
   SELECT DISTINCT doc_id, wpos FROM (
     SELECT doc_id, unnest(range(pos, pos + 13)) AS wpos FROM m)
+),
+w AS (
+  SELECT doc_id, u.wpos AS wpos, u.word AS word FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+      i -> {{'wpos': i, 'word': ws[i + 1]}})) AS u
+    FROM docw)
+),
+kept AS (
+  SELECT w.doc_id, w.wpos, w.word
+  FROM w LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.wpos = w.wpos
+  WHERE cov.wpos IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS kept_text,
+         CAST(count(*) AS BIGINT) AS nk
+  FROM kept GROUP BY doc_id
+),
+sp AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched_spans
+  FROM m GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.kept_text, '') AS kept_text,
+       CAST(len(d.ws) AS BIGINT) AS n_words,
+       CAST(len(d.ws) - coalesce(a.nk, 0) AS BIGINT) AS n_words_removed,
+       coalesce(s.n_matched_spans, CAST(0 AS BIGINT)) AS n_matched_spans
+FROM docw d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+LEFT JOIN sp s ON s.doc_id = d.doc_id"""
+
+    # exact_substring_dedup oracle: same planted corpus, same positional
+    # 13-grams; first occurrence per gram hash by (doc_id, pos) survives,
+    # later ones feed the identical covered-union masking tail.
+    from amazon_textract_transformer_pipeline_spark.driver_queries import (
+        EXSUB_NGRAM,
+        exsub_text_sql,
+    )
+
+    _xn = EXSUB_NGRAM
+    sqls["exact_substring_dedup"] = f"""
+WITH docw AS MATERIALIZED (
+  SELECT doc_id, {X.words(exsub_text_sql(), 'duck')} AS ws FROM documents
+),
+pg AS MATERIALIZED (
+  SELECT doc_id, u.pos AS pos, {X.h64('u.gram', 'duck')} AS gh FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len(ws) - {_xn - 1}),
+      i -> {{'pos': i,
+             'gram': array_to_string(list_slice(ws, i + 1, i + {_xn}), ' ')}}))
+      AS u
+    FROM docw WHERE len(ws) >= {_xn})
+),
+m AS MATERIALIZED (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+    FROM pg)
+  WHERE rn >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, wpos FROM (
+    SELECT doc_id, unnest(range(pos, pos + {_xn})) AS wpos FROM m)
 ),
 w AS (
   SELECT doc_id, u.wpos AS wpos, u.word AS word FROM (

@@ -773,6 +773,39 @@ def q_lm_perplexity(spark, sf_dir) -> DataFrame:
         "doc_id", "n_pairs", "logprob_sum", "perplexity", "ppl_bucket")
 
 
+#: exact_substring_dedup gate window (13 words keeps the planted blocks
+#: short; the operator default is the paper's 50).
+EXSUB_NGRAM = 13
+
+
+def exsub_text_sql() -> str:
+    """Gate corpus for ExactSubstr: documents text with planted verbatim
+    duplication — every fourth-mod-1 doc appends the same 14-word block
+    (cross-doc dup: the lowest doc_id keeps it, every later one is cut)
+    and every tenth-mod-2 doc appends a 13-word block TWICE (within-doc
+    dup: the second copy is cut even in the corpus-wide first doc).
+    Valid verbatim in both Spark SQL and DuckDB."""
+    alpha = ("exact dup block alpha one two three four five six "
+             "seven eight nine ten")
+    beta = ("twice beta gamma one two three four five six seven "
+            "eight nine ten")
+    return (f"concat(text, "
+            f"CASE WHEN doc_id % 4 = 1 THEN ' {alpha}' ELSE '' END, "
+            f"CASE WHEN doc_id % 10 = 2 THEN ' {beta} {beta}' "
+            f"ELSE '' END)")
+
+
+def q_exact_substring_dedup(spark, sf_dir) -> DataFrame:
+    """ExactSubstr dedup over the planted corpus: corpus-wide first
+    occurrence of every duplicated 13-gram survives, later occurrences
+    (cross-doc AND within-doc) lose exactly the covered words. Exact
+    against the identical first-occurrence + covered-union replay in
+    DuckDB."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(exsub_text_sql()).alias("text"))
+    return dedup.exact_substring_dedup(docs, n=EXSUB_NGRAM)
+
+
 #: quality_nb gate: training set = docs with doc_id % 2 == 0, labeled
 #: high-quality when the LOWERCASED text contains ' the ' — a real
 #: lexical signal (not a statistically-identical split), expressible

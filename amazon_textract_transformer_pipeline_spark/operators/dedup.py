@@ -379,15 +379,30 @@ def decontaminate_mask(docs: DataFrame, blocklist: DataFrame,
     )
     ws = X.words(text_col, "spark")
     base = docs.select(id_col, F.expr(ws).alias("ws"))
-    grams = (
+    grams = _positional_grams(base, n, id_col)
+    matched = grams.join(bad, "gh").select(id_col, "pos")
+    return _mask_matched_spans(base, matched, n, id_col)
+
+
+def _positional_grams(base: DataFrame, n: int, id_col: str) -> DataFrame:
+    """(id, pos, gh): every word ``n``-gram of a (id, ws) relation with
+    its 0-based start position and 64-bit hash. Map-only."""
+    return (
         base.filter(F.expr(f"size(ws) >= {n}"))
         .select(id_col, F.posexplode(F.expr(
             f"transform(sequence(0, size(ws) - {n}), "
             f"i -> concat_ws(' ', slice(ws, i + 1, {n})))"))
             .alias("pos", "gram"))
         .withColumn("gh", F.expr(X.h64("gram", "spark")))
+        .drop("gram")
     )
-    matched = grams.join(bad, "gh").select(id_col, "pos")
+
+
+def _mask_matched_spans(base: DataFrame, matched: DataFrame, n: int,
+                        id_col: str) -> DataFrame:
+    """Shared masking tail: given (id, ws) and matched span starts
+    (id, pos), cut the covered-position union word-exactly and
+    reassemble. Every input doc keeps a row. All keys doc-grain."""
     covered = matched.select(
         id_col,
         F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("wpos"),
@@ -414,6 +429,59 @@ def decontaminate_mask(docs: DataFrame, blocklist: DataFrame,
             .alias("n_matched_spans"),
         )
     )
+
+
+def exact_substring_dedup(docs: DataFrame, n: int = 50,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022, *Deduplicating
+    Training Data Makes Language Models Better*): remove every span
+    that appears verbatim elsewhere in the corpus, keeping exactly one
+    occurrence. The paper builds a corpus-wide suffix array — inherently
+    single-machine; the relational form is positional ``n``-gram
+    matching (the paper's 50-token threshold as the default window),
+    sharing :func:`decontaminate_mask`'s masking tail.
+
+    Semantics (pinned, replayed exactly by the DuckDB oracle):
+
+    * occurrences = every word ``n``-gram of every doc with its 0-based
+      start position;
+    * an occurrence is *masked* iff an earlier occurrence of the same
+      gram exists, ordered by (doc_id, pos) — i.e. the corpus-wide
+      FIRST occurrence survives, duplicates lose the covered words
+      (within-doc repeats count: the second copy in the same doc is
+      masked too);
+    * covered positions = union over masked occurrences; ``kept_text``
+      = surviving words in original order; every doc keeps a row; docs
+      with < ``n`` words pass through intact.
+
+    Scale shape (100 TB audit): one hash aggregate on the uniform gram
+    key finds the first occurrence per gram (map-side partial min of a
+    (doc_id, pos) struct) and — crucially — FILTERS to grams seen ≥ 2
+    times before the probe join, so the join's build side shrinks to
+    the duplicated tail of the gram distribution (most grams are
+    unique). The gram relation is re-derived map-side for the probe
+    rather than checkpointed: it is n× corpus size, and a map-only
+    explode replay is cheaper than materializing it. The masking tail
+    is all doc-grain keys.
+    """
+    ws = X.words(text_col, "spark")
+    base = docs.select(id_col, F.expr(ws).alias("ws"))
+    grams = _positional_grams(base, n, id_col)
+    dup_firsts = (
+        grams.groupBy("gh")
+        .agg(F.min(F.struct(id_col, "pos")).alias("first"),
+             F.count("*").alias("cnt"))
+        .filter("cnt >= 2")
+        .select("gh", "first")
+    )
+    matched = (
+        grams.join(dup_firsts, "gh")
+        .filter(~((F.col(id_col) == F.col(f"first.{id_col}"))
+                  & (F.col("pos") == F.col("first.pos"))))
+        .select(id_col, "pos")
+    )
+    return _mask_matched_spans(base, matched, n, id_col)
 
 
 def connected_components(pairs: DataFrame, a_col: str = "a",

@@ -115,6 +115,8 @@ def bench_queries(spark) -> dict[str, float]:
     timed("mixture_sample", lambda: Q.q_mixture_sample(spark, sf).count())
     timed("semantic_dedup", lambda: _force(Q.q_semantic_dedup(spark, sf)))
     timed("quality_nb", lambda: _force(Q.q_quality_nb(spark, sf)))
+    timed("exact_substring_dedup",
+          lambda: _force(Q.q_exact_substring_dedup(spark, sf)))
 
     # round-3/4 operators: windowed analytics, WARC ingestion, real-codec
     # decode, native PDF extraction
