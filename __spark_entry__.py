@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": Q.q_html_meta,
         # corpus vocabulary head (tokenizer/stopword-fit input)
         "vocab_top_k": Q.q_vocab_top_k,
+        # distributed BPE tokenizer fitting + literal-merge tokenize
+        "bpe_merges": Q.q_bpe_merges,
+        "bpe_tokenize": Q.q_bpe_tokenize,
         # surgical decontamination (mask matched spans, keep the doc)
         "decontaminate_mask": Q.q_decontaminate_mask,
         # ExactSubstr dedup (corpus-wide first occurrence survives)
@@ -1444,6 +1447,23 @@ SELECT d.doc_id, coalesce(a.kept_text, '') AS kept_text,
 FROM docw d
 LEFT JOIN agg a ON a.doc_id = d.doc_id
 LEFT JOIN sp s ON s.doc_id = d.doc_id"""
+
+    # BPE oracles: the unrolled-round replay is generated by the same
+    # module that defines the Spark semantics (single-sourced greedy
+    # fold / winner rule).
+    from amazon_textract_transformer_pipeline_spark.driver_queries import (
+        BPE_APPLY_MERGES,
+        BPE_GATE_MERGES,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.bpe import (
+        bpe_apply_oracle_sql,
+        bpe_oracle_sql,
+    )
+
+    sqls["bpe_merges"] = bpe_oracle_sql(
+        "SELECT doc_id, text FROM documents", BPE_GATE_MERGES)
+    sqls["bpe_tokenize"] = bpe_apply_oracle_sql(
+        "SELECT doc_id, text FROM documents", BPE_APPLY_MERGES)
 
     # vocab_top_k oracle: same token aggregate + deterministic
     # (count desc, token asc) rank in DuckDB.

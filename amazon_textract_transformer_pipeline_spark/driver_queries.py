@@ -806,6 +806,40 @@ def q_exact_substring_dedup(spark, sf_dir) -> DataFrame:
     return dedup.exact_substring_dedup(docs, n=EXSUB_NGRAM)
 
 
+#: bpe_merges gate depth (operator takes any k; 6 keeps the unrolled
+#: DuckDB oracle readable) and the pinned literal merge list for the
+#: apply gate (chained merges: th -> the -> the</w>).
+BPE_GATE_MERGES = 6
+BPE_APPLY_MERGES = [("t", "h"), ("th", "e"), ("the", "</w>"), ("e", "s")]
+
+
+def q_bpe_merges(spark, sf_dir) -> DataFrame:
+    """Distributed BPE tokenizer fitting: learn the first 6 merges over
+    the documents corpus — one corpus-scale word-count shuffle, then 6
+    relational rounds over the vocabulary relation (pair-count agg +
+    broadcast 1-row winner + greedy merge fold). Winner rule (count
+    desc, left asc, right asc) is fully deterministic; DuckDB replays
+    the identical unrolled rounds."""
+    from .operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(_docs(spark, sf_dir), BPE_GATE_MERGES)
+
+
+def q_bpe_tokenize(spark, sf_dir) -> DataFrame:
+    """BPE tokenization with a pinned literal merge list (the LSH-planes
+    pattern: the fitted model is plan-time constants), map-only. The
+    chained merges exercise rank-order application — 'the</w>' can only
+    form after 'th' and 'the'."""
+    from .operators.bpe import apply_bpe_merges
+
+    toks = apply_bpe_merges(
+        _docs(spark, sf_dir).select("doc_id", "text"), BPE_APPLY_MERGES)
+    return toks.select(
+        "doc_id",
+        F.expr("concat_ws(' ', tokens)").alias("tokenized"),
+        F.expr("cast(size(tokens) as bigint)").alias("n_tokens"))
+
+
 #: quality_nb gate: training set = docs with doc_id % 2 == 0, labeled
 #: high-quality when the LOWERCASED text contains ' the ' — a real
 #: lexical signal (not a statistically-identical split), expressible

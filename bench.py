@@ -117,6 +117,7 @@ def bench_queries(spark) -> dict[str, float]:
     timed("quality_nb", lambda: _force(Q.q_quality_nb(spark, sf)))
     timed("exact_substring_dedup",
           lambda: _force(Q.q_exact_substring_dedup(spark, sf)))
+    timed("bpe_merges", lambda: Q.q_bpe_merges(spark, sf).count())
 
     # round-3/4 operators: windowed analytics, WARC ingestion, real-codec
     # decode, native PDF extraction
