@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_mask": Q.q_decontaminate_mask,
         # ExactSubstr dedup (corpus-wide first occurrence survives)
         "exact_substring_dedup": Q.q_exact_substring_dedup,
+        # Winnowing (MOSS) position-robust fingerprints
+        "winnow_fingerprints": Q.q_winnow_fingerprints,
         # exact-value via recursive-CTE / closed-form-spec oracles
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
@@ -1447,6 +1449,15 @@ SELECT d.doc_id, coalesce(a.kept_text, '') AS kept_text,
 FROM docw d
 LEFT JOIN agg a ON a.doc_id = d.doc_id
 LEFT JOIN sp s ON s.doc_id = d.doc_id"""
+
+    # winnow_fingerprints oracle: single-sourced builder (same selection
+    # rule, same struct-min window) from operators/dedup.py.
+    from amazon_textract_transformer_pipeline_spark.operators.dedup import (
+        winnow_oracle_sql,
+    )
+
+    sqls["winnow_fingerprints"] = winnow_oracle_sql(
+        "SELECT doc_id, text FROM documents", k=5, w=4)
 
     # BPE oracles: the unrolled-round replay is generated by the same
     # module that defines the Spark semantics (single-sourced greedy

@@ -806,6 +806,15 @@ def q_exact_substring_dedup(spark, sf_dir) -> DataFrame:
     return dedup.exact_substring_dedup(docs, n=EXSUB_NGRAM)
 
 
+def q_winnow_fingerprints(spark, sf_dir) -> DataFrame:
+    """Winnowing (MOSS) fingerprints over the documents corpus: char
+    5-grams, window 4, rightmost-minimal selection per full window —
+    one map-only gram explode + one per-doc window shuffle. DuckDB
+    replays the identical struct-min selection."""
+    return dedup.winnow_fingerprints(
+        _docs(spark, sf_dir).select("doc_id", "text"), k=5, w=4)
+
+
 #: bpe_merges gate depth (operator takes any k; 6 keeps the unrolled
 #: DuckDB oracle readable) and the pinned literal merge list for the
 #: apply gate (chained merges: th -> the -> the</w>).

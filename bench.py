@@ -118,6 +118,11 @@ def bench_queries(spark) -> dict[str, float]:
     timed("exact_substring_dedup",
           lambda: _force(Q.q_exact_substring_dedup(spark, sf)))
     timed("bpe_merges", lambda: Q.q_bpe_merges(spark, sf).count())
+    # winnowing is char-gram grain (~1 row/char): bench the 20% slice so
+    # the entry tracks regressions without dominating the bench wall
+    timed("winnow_fingerprints",
+          lambda: dedup.winnow_fingerprints(
+              docs.filter("doc_id % 5 = 0").select("doc_id", "text")).count())
 
     # round-3/4 operators: windowed analytics, WARC ingestion, real-codec
     # decode, native PDF extraction
