@@ -1134,14 +1134,9 @@ def q_corpus_filter(spark, sf_dir) -> DataFrame:
     stage recorded per document. The blocklist output passes its input
     columns through, so every verdict is ONE map-side codegen stage on
     top of the suffix-join — no re-join against the scan, no second
-    corpus-wide shuffle."""
-    from .operators.sampling import importance_exprs
-    from .operators.textstats import (
-        c4_exprs,
-        gopher_exprs,
-        with_langid,
-    )
-    from .operators.webclean import filter_blocked_domains
+    corpus-wide shuffle. Single-sourced with the Structured Streaming
+    path via `webclean.composed_quality_verdicts`."""
+    from .operators.webclean import composed_quality_verdicts
 
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.expr(corpus_text_sql()).alias("text"),
@@ -1151,28 +1146,7 @@ def q_corpus_filter(spark, sf_dir) -> DataFrame:
     bl = spark.createDataFrame(
         [("host1.example.com",), ("host4.example.com",), ("evil.org",)],
         "domain string")
-    out = (
-        with_langid(filter_blocked_domains(docs, bl))
-        .withColumn("gopher_pass",
-                    F.expr(gopher_exprs("text", "spark")["gopher_pass"]))
-        .withColumn("c4_pass",
-                    F.expr(c4_exprs("text", "spark")["c4_pass"]))
-        .withColumn("dsir_sampled",
-                    F.expr(importance_exprs("text", "spark")["dsir_sampled"]))
-    )
-    reason = (
-        "CASE WHEN blocked THEN 'blocked_domain' "
-        "WHEN lang_pred <> 'en' THEN 'language' "
-        "WHEN NOT gopher_pass THEN 'gopher_quality' "
-        "WHEN NOT c4_pass THEN 'c4_cleaning' "
-        "WHEN NOT dsir_sampled THEN 'dsir_sampled_out' END"
-    )
-    return out.select(
-        "doc_id", "host", "blocked", "lang_pred", "gopher_pass", "c4_pass",
-        "dsir_sampled",
-        F.expr(reason).alias("drop_reason"),
-        F.expr(f"({reason}) IS NULL").alias("kept"),
-    )
+    return composed_quality_verdicts(docs, bl)
 
 
 def snapshot_url_sql(engine: str) -> str:
