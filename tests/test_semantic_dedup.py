@@ -154,3 +154,25 @@ def test_random_corpus_matches_python_replica(spark):
         else:
             assert abs(g[1] - cc) < 1e-9
         assert g[2] == rank and g[3] == dup_of
+
+
+def test_accepts_trained_kmeans_centroids(spark):
+    # contract check: similarity.kmeans_centroids output (cent_id, centv)
+    # plugs straight into semantic_dedup's centroids= argument
+    from amazon_textract_transformer_pipeline_spark.operators import (
+        similarity,
+    )
+
+    rows = [(i, [float((i % 7) + 1), float((i * 3) % 5)])
+            for i in range(30)]
+    rows += [(100 + i, rows[i][1]) for i in range(4)]  # planted copies
+    embs = _df(spark, rows)
+    cents = similarity.kmeans_centroids(embs, k=4, n_iter=2)
+    got = {r.vec_id: r for r in dedup.semantic_dedup(
+        embs, threshold=0.999, centroids=cents).collect()}
+    assert len(got) == len(rows)
+    # every planted copy is flagged against an earlier identical witness
+    for i in range(4):
+        r = got[100 + i]
+        assert r.is_dup is True
+        assert got[r.dup_of].cluster_id == r.cluster_id
