@@ -721,11 +721,68 @@ def resolve_near_dup_clusters(docs: DataFrame, pairs: DataFrame,
     )
 
 
+def _semantic_assign_arrow(embs: DataFrame, centroids: DataFrame,
+                           id_col: str, vec_col: str) -> DataFrame:
+    """Arrow twin of SemDedup's assignment stage: the centroid matrix is
+    collected (tiny — same budget as the SQL path's broadcast) and each
+    corpus batch runs ONE numpy matmul; identical tie rules (argmax over
+    9-dp-rounded cosines on a cent_id-ascending matrix = lowest cent_id
+    on ties; zero-norm rows/columns score the SQL path's -2 sentinel and
+    surface NULL ``cent_cos``). float64 matmul sums in a different
+    association order than the HOF fold, so knife-edge values can round
+    differently in the 9th decimal — the SQL path remains the
+    exact-oracle baseline (same caveat as brute_force_topk_arrow)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    crows = sorted(centroids.collect(), key=lambda r: r[0])
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cmat = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    czero = cnorm == 0
+    cnorm[czero] = 1.0
+
+    vec_type = embs.schema[vec_col].dataType
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("cluster_id", T.LongType(), False),
+        T.StructField("cent_cos", T.DoubleType(), True),
+        T.StructField("v", vec_type, True),
+    ])
+
+    def run(batches):
+        for b in batches:
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            if not len(ids):
+                continue
+            vecs = list(b[vec_col])
+            mat = np.array(vecs, dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            vzero = norms == 0
+            norms[vzero] = 1.0
+            cos = np.round((mat @ cmat.T) / norms[:, None] / cnorm[None, :], 9)
+            cos[vzero, :] = -2.0
+            cos[:, czero] = -2.0
+            best = np.argmax(cos, axis=1)  # first max = lowest cent_id
+            bc = cos[np.arange(len(ids)), best]
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "cluster_id": cids[best],
+                "cent_cos": [None if c == -2.0 else float(c) for c in bc],
+                "v": vecs,
+            })
+
+    return embs.select(id_col, vec_col).mapInPandas(
+        lambda it: run(it), schema=schema)
+
+
 def semantic_dedup(embs: DataFrame, threshold: float = 0.95,
                    centroids: DataFrame | None = None,
                    centroid_every: int = 25,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   max_cluster: int = 10_000) -> DataFrame:
+                   max_cluster: int = 10_000,
+                   assign: str = "sql") -> DataFrame:
     """SemDedup (Abbas et al. 2023): semantic deduplication by embedding
     cosine *within clusters*. Complements the lexical family (exact /
     MinHash / SimHash): paraphrases and re-encodings share no shingles but
@@ -754,7 +811,9 @@ def semantic_dedup(embs: DataFrame, threshold: float = 0.95,
     Scale shape (100 TB audit): the centroid relation is tiny → broadcast;
     assignment is one broadcast nested-loop map + a groupBy(vec_id)
     max_by with map-side partial combine (1 row/vector crosses the wire,
-    not K). The ranked ``members`` relation is localCheckpoint'd — it
+    not K). ``assign="arrow"`` swaps that stage for a zero-shuffle numpy
+    matmul twin (:func:`_semantic_assign_arrow`) — the production path
+    when K is large; the SQL path stays the exact-oracle baseline. The ranked ``members`` relation is localCheckpoint'd — it
     feeds both witness-join sides, and without the checkpoint Spark
     recomputes the N×K cosine scoring per reference (3× measured). One
     LEFT self-join on cluster_id + one groupBy(vec_id) then yields
@@ -772,23 +831,29 @@ def semantic_dedup(embs: DataFrame, threshold: float = 0.95,
     if centroids is None:
         centroids = embs.filter(F.col(id_col) % centroid_every == 0).select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv"))
-    e = embs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    scored = (
-        e.crossJoin(F.broadcast(centroids))
-        .withColumn("cos9", F.round(F.expr(X.cosine("v", "centv", "spark")), 9))
-    )
-    # total order (score desc, cent_id asc) packed into one max_by key —
-    # deterministic, and partial-aggregates map-side unlike a window sort
-    ord_key = F.struct(
-        F.coalesce(F.col("cos9"), F.lit(-2.0)).alias("c"),
-        (-F.col("cent_id")).alias("t"))
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(F.max_by(F.struct("cent_id", "cos9"), ord_key).alias("best"),
-             F.first("v").alias("v"))
-        .select("vec_id", F.col("best.cent_id").alias("cluster_id"),
-                F.col("best.cos9").alias("cent_cos"), "v")
-    )
+    if assign == "arrow":
+        assigned = _semantic_assign_arrow(embs, centroids, id_col, vec_col)
+    else:
+        e = embs.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("v"))
+        scored = (
+            e.crossJoin(F.broadcast(centroids))
+            .withColumn("cos9",
+                        F.round(F.expr(X.cosine("v", "centv", "spark")), 9))
+        )
+        # total order (score desc, cent_id asc) packed into one max_by
+        # key — deterministic, and partial-aggregates map-side unlike a
+        # window sort
+        ord_key = F.struct(
+            F.coalesce(F.col("cos9"), F.lit(-2.0)).alias("c"),
+            (-F.col("cent_id")).alias("t"))
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(F.max_by(F.struct("cent_id", "cos9"), ord_key).alias("best"),
+                 F.first("v").alias("v"))
+            .select("vec_id", F.col("best.cent_id").alias("cluster_id"),
+                    F.col("best.cos9").alias("cent_cos"), "v")
+        )
     rank_w = Window.partitionBy("cluster_id").orderBy(
         F.coalesce(F.col("cent_cos"), F.lit(-2.0)).asc(), F.col("vec_id").asc())
     # checkpoint: members feeds BOTH witness-join sides — without it Spark

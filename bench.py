@@ -114,6 +114,10 @@ def bench_queries(spark) -> dict[str, float]:
     timed("corpus_filter", lambda: _force(Q.q_corpus_filter(spark, sf)))
     timed("mixture_sample", lambda: Q.q_mixture_sample(spark, sf).count())
     timed("semantic_dedup", lambda: _force(Q.q_semantic_dedup(spark, sf)))
+    timed("semantic_dedup_arrow",
+          lambda: dedup.semantic_dedup(
+              Q.semantic_corpus(embs), threshold=0.95, centroid_every=25,
+              assign="arrow").count())
     timed("quality_nb", lambda: _force(Q.q_quality_nb(spark, sf)))
     timed("exact_substring_dedup",
           lambda: _force(Q.q_exact_substring_dedup(spark, sf)))

@@ -176,3 +176,25 @@ def test_accepts_trained_kmeans_centroids(spark):
         r = got[100 + i]
         assert r.is_dup is True
         assert got[r.dup_of].cluster_id == r.cluster_id
+
+
+def test_arrow_assignment_twin_matches_sql(spark):
+    import numpy as np
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(60):
+        v = [float(np.float32(round(rng.gauss(0, 1), 3))) for _ in range(8)]
+        rows.append((i, v))
+    rows += [(100 + i, rows[i][1]) for i in range(0, 20, 2)]
+    rows.append((200, [0.0] * 8))          # zero-norm vector
+    embs = _df(spark, rows)
+    kw = dict(threshold=0.9, centroid_every=10)
+    sql_out = {r.vec_id: (r.cluster_id, r.cent_cos, r.cluster_rank,
+                          r.dup_of, r.is_dup)
+               for r in dedup.semantic_dedup(embs, **kw).collect()}
+    arw_out = {r.vec_id: (r.cluster_id, r.cent_cos, r.cluster_rank,
+                          r.dup_of, r.is_dup)
+               for r in dedup.semantic_dedup(embs, assign="arrow",
+                                             **kw).collect()}
+    assert sql_out == arw_out
