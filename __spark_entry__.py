@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup": Q.q_exact_substring_dedup,
         # Winnowing (MOSS) position-robust fingerprints
         "winnow_fingerprints": Q.q_winnow_fingerprints,
+        # host-graph PageRank (crawl-frontier / host-quality prior)
+        "pagerank": Q.q_pagerank,
         # exact-value via recursive-CTE / closed-form-spec oracles
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
@@ -1449,6 +1451,21 @@ SELECT d.doc_id, coalesce(a.kept_text, '') AS kept_text,
 FROM docw d
 LEFT JOIN agg a ON a.doc_id = d.doc_id
 LEFT JOIN sp s ON s.doc_id = d.doc_id"""
+
+    # pagerank oracle: unrolled-round replay from the single-sourced
+    # builder; final 6-dp round on top of the per-round 9-dp pinning.
+    from amazon_textract_transformer_pipeline_spark.driver_queries import (
+        PAGERANK_EDGES_SQL,
+        PAGERANK_ITERS,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.graph import (
+        pagerank_oracle_sql,
+    )
+
+    sqls["pagerank"] = (
+        "SELECT node, round(rank, 6) AS rank FROM ("
+        + pagerank_oracle_sql(PAGERANK_EDGES_SQL, n_iter=PAGERANK_ITERS)
+        + ")")
 
     # winnow_fingerprints oracle: single-sourced builder (same selection
     # rule, same struct-min window) from operators/dedup.py.

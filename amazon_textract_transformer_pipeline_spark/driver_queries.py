@@ -806,6 +806,27 @@ def q_exact_substring_dedup(spark, sf_dir) -> DataFrame:
     return dedup.exact_substring_dedup(docs, n=EXSUB_NGRAM)
 
 
+#: pagerank gate edges: deterministic sparse host graph with dangling
+#: nodes (dst residues 23-28 never appear as src) and self-loops.
+PAGERANK_EDGES_SQL = ("SELECT doc_id % 23 AS src, "
+                      "(doc_id * doc_id + 1) % 29 AS dst FROM documents")
+PAGERANK_ITERS = 8
+
+
+def q_pagerank(spark, sf_dir) -> DataFrame:
+    """Host-graph PageRank over a deterministic synthetic edge set:
+    8 relational rounds, dangling mass redistributed uniformly, ranks
+    pinned to 9 dp per round in BOTH engines so float wobble cannot
+    compound. Output rounded to 6 dp."""
+    from .operators.graph import pagerank
+
+    edges = _docs(spark, sf_dir).select(
+        F.expr("doc_id % 23").alias("src"),
+        F.expr("(doc_id * doc_id + 1) % 29").alias("dst"))
+    return pagerank(edges, n_iter=PAGERANK_ITERS).select(
+        "node", F.round("rank", 6).alias("rank"))
+
+
 def q_winnow_fingerprints(spark, sf_dir) -> DataFrame:
     """Winnowing (MOSS) fingerprints over the documents corpus: char
     5-grams, window 4, rightmost-minimal selection per full window —

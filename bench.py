@@ -124,6 +124,7 @@ def bench_queries(spark) -> dict[str, float]:
     timed("bpe_merges", lambda: Q.q_bpe_merges(spark, sf).count())
     # winnowing is char-gram grain (~1 row/char): bench the 20% slice so
     # the entry tracks regressions without dominating the bench wall
+    timed("pagerank", lambda: Q.q_pagerank(spark, sf).count())
     timed("winnow_fingerprints",
           lambda: dedup.winnow_fingerprints(
               docs.filter("doc_id % 5 = 0").select("doc_id", "text")).count())
