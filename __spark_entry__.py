@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": Q.q_lm_perplexity,
         # GPT-3-style NB corpus-selection classifier (train + score)
         "quality_nb": Q.q_quality_nb,
+        # per-doc top-k tf-idf salient terms
+        "tfidf_top_terms": Q.q_tfidf_top_terms,
         # UT1-style domain blocklist filter (suffix-match semi-join)
         "domain_blocklist": Q.q_domain_blocklist,
         # corpus composition: intra-doc line dedup, mixture sampling,
@@ -1179,6 +1181,15 @@ FROM documents d LEFT JOIN lma a ON a.doc_id = d.doc_id"""
                      f"FROM documents WHERE doc_id % 2 = 0"),
         score_cte="SELECT doc_id, text FROM documents",
     )
+
+    # tfidf_top_terms oracle: same tf/df aggregates, same deterministic
+    # (score desc, term asc) rank (single-sourced builder).
+    from amazon_textract_transformer_pipeline_spark.operators.quality import (
+        tfidf_oracle_sql,
+    )
+
+    sqls["tfidf_top_terms"] = tfidf_oracle_sql(
+        "SELECT doc_id, text FROM documents")
 
     # doc_line_dedup oracle: same builder + same deterministic line-laden
     # text (indexed-lambda keep-first filter in both dialects).

@@ -870,6 +870,15 @@ def q_bpe_tokenize(spark, sf_dir) -> DataFrame:
         F.expr("cast(size(tokens) as bigint)").alias("n_tokens"))
 
 
+def q_tfidf_top_terms(spark, sf_dir) -> DataFrame:
+    """Per-doc top-5 tf-idf terms: two count aggregates on uniform keys
+    + one term join + one per-doc window; (score desc, term asc) rank is
+    fully deterministic. DuckDB replays the identical model."""
+    from .operators.quality import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 #: quality_nb gate: training set = docs with doc_id % 2 == 0, labeled
 #: high-quality when the LOWERCASED text contains ' the ' — a real
 #: lexical signal (not a statistically-identical split), expressible

@@ -129,6 +129,77 @@ def nb_quality_score(docs: DataFrame, word_counts: DataFrame,
     )
 
 
+def tfidf_top_terms(docs: DataFrame, topk: int = 5,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document top-``topk`` terms by tf-idf — the classic relevance
+    primitive (GPT-3's quality classifier featurizes with tf-idf; corpus
+    release reports list per-slice salient terms with it).
+
+    Model (pinned, replayed exactly by the DuckDB oracle):
+
+    * terms = whitespace words of lowercased text; tf = in-doc count;
+    * idf = ln(N / df) with N = corpus doc count and df = docs
+      containing the term (no smoothing — every scored term has df ≥ 1);
+    * score = tf * idf rounded to 9 dp; rank per doc by (score DESC,
+      term ASC) — fully deterministic; rows with rank ≤ topk survive.
+      Docs whose every term appears in every doc (idf 0) still emit
+      rows (score 0) — the rank rule alone decides.
+
+    Scale shape: one (doc, term) count aggregate + one df aggregate on
+    the uniform term key (map-side partials both), one shuffle join
+    term→df, the scalar N on a broadcast cross join, and ONE per-doc
+    window for the top-k (doc-grain key, skew bounded by vocabulary per
+    doc). The df relation is vocabulary-sized — never collected.
+    """
+    toks = _tokens(docs, [id_col], text_col).withColumnRenamed("w", "term")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_rel = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(df_rel, "term")
+        .crossJoin(F.broadcast(n_rel))
+        .withColumn("score", F.round(
+            F.col("tf") * F.expr("ln(n_docs / df)"), 9))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(id_col, F.col("rank").cast("int").alias("rank"), "term",
+                F.col("tf").cast("bigint").alias("tf"),
+                F.col("df").cast("bigint").alias("df"), "score")
+    )
+
+
+def tfidf_oracle_sql(docs_cte: str, topk: int = 5) -> str:
+    """DuckDB replay of :func:`tfidf_top_terms` (single-sourced).
+    ``docs_cte`` must yield (doc_id, text)."""
+    dw = X.words("lower(text)", "duck")
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest({dw}) AS term FROM ({docs_cte})
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*)::DOUBLE AS n_docs FROM ({docs_cte})),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * ln(nn.n_docs / d.df), 9) AS score
+  FROM tf t JOIN dfr d USING (term) CROSS JOIN nn
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM ranked WHERE rank <= {topk}"""
+
+
 def nb_oracle_sql(labeled_cte: str, score_cte: str,
                   alpha: float = ALPHA) -> str:
     """DuckDB replay of train_nb + nb_quality_score.

@@ -119,6 +119,7 @@ def bench_queries(spark) -> dict[str, float]:
               Q.semantic_corpus(embs), threshold=0.95, centroid_every=25,
               assign="arrow").count())
     timed("quality_nb", lambda: _force(Q.q_quality_nb(spark, sf)))
+    timed("tfidf_top_terms", lambda: Q.q_tfidf_top_terms(spark, sf).count())
     timed("exact_substring_dedup",
           lambda: _force(Q.q_exact_substring_dedup(spark, sf)))
     timed("bpe_merges", lambda: Q.q_bpe_merges(spark, sf).count())

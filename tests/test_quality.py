@@ -92,3 +92,50 @@ def test_oov_shifts_toward_larger_token_class(spark):
     # n_hq+aV > n_lq+aV makes each unseen token's ratio < 1).
     got = _run(spark, LABELED, [(5, "zzz yyy xxx")])
     assert got[5][1] < 0 and got[5][2] is False
+
+
+def _py_tfidf(texts, topk=5):
+    import math
+    toks = {d: t.lower().split() for d, t in texts}
+    n = float(len(texts))
+    df: dict[str, int] = {}
+    for ws in toks.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    out = {}
+    for d, ws in toks.items():
+        tf: dict[str, int] = {}
+        for w in ws:
+            tf[w] = tf.get(w, 0) + 1
+        scored = sorted(
+            ((round(c * math.log(n / df[w]), 9), w, c) for w, c in tf.items()),
+            key=lambda x: (-x[0], x[1]))
+        out[d] = [(r + 1, w, c, df[w], s)
+                  for r, (s, w, c) in enumerate(scored[:topk])]
+    return out
+
+
+def test_tfidf_matches_replica_and_rare_terms_win(spark):
+    from amazon_textract_transformer_pipeline_spark.operators.quality import (
+        tfidf_top_terms,
+    )
+
+    texts = [
+        (0, "common common common zebra"),
+        (1, "common words only here"),
+        (2, "common words zebra quark quark"),
+        (3, "xx common"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in tfidf_top_terms(df).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.rank, r.term, r.tf, r.df, r.score))
+    for d in got:
+        got[d].sort()
+    want = _py_tfidf(texts)
+    assert got == want
+    # rare term beats frequent common term within doc 2
+    assert got[2][0][1] == "quark"
+    # df=N terms score exactly 0 but still rank (deterministic term asc)
+    assert all(s == 0.0 for _, t, _, _, s in got[1] if t == "common")
