@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": Q.q_winnow_fingerprints,
         # host-graph PageRank (crawl-frontier / host-quality prior)
         "pagerank": Q.q_pagerank,
+        # deterministic size-bounded shard assignment (release sink)
+        "export_shards": Q.q_export_shards,
         # exact-value via recursive-CTE / closed-form-spec oracles
         "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
@@ -1462,6 +1464,18 @@ SELECT d.doc_id, coalesce(a.kept_text, '') AS kept_text,
 FROM docw d
 LEFT JOIN agg a ON a.doc_id = d.doc_id
 LEFT JOIN sp s ON s.doc_id = d.doc_id"""
+
+    # export_shards oracle: identical hash-order running-sum chunking
+    # (single-sourced builder).
+    from amazon_textract_transformer_pipeline_spark.driver_queries import (
+        EXPORT_SHARD_BYTES,
+    )
+    from amazon_textract_transformer_pipeline_spark.operators.export import (
+        export_oracle_sql,
+    )
+
+    sqls["export_shards"] = export_oracle_sql(
+        "SELECT doc_id, text FROM documents", EXPORT_SHARD_BYTES)
 
     # pagerank oracle: unrolled-round replay from the single-sourced
     # builder; final 6-dp round on top of the per-round 9-dp pinning.

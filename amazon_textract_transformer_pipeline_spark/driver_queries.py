@@ -827,6 +827,24 @@ def q_pagerank(spark, sf_dir) -> DataFrame:
         "node", F.round("rank", 6).alias("rank"))
 
 
+#: export gate shard budget: small enough that sf0.01 yields many
+#: shards with the overflow-by-at-most-one-doc edge exercised.
+EXPORT_SHARD_BYTES = 65536
+
+
+def q_export_shards(spark, sf_dir) -> DataFrame:
+    """Deterministic size-bounded shard assignment for corpus release:
+    hash-ordered running byte sum chunked by the shard budget, manifest
+    stats per shard. One global-order window (the honest cost of
+    contiguous shards) + one map-side-partial aggregate; DuckDB replays
+    the identical arithmetic."""
+    from .operators.export import assign_shards, shard_manifest
+
+    return shard_manifest(assign_shards(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        shard_bytes=EXPORT_SHARD_BYTES))
+
+
 def q_winnow_fingerprints(spark, sf_dir) -> DataFrame:
     """Winnowing (MOSS) fingerprints over the documents corpus: char
     5-grams, window 4, rightmost-minimal selection per full window —

@@ -126,6 +126,7 @@ def bench_queries(spark) -> dict[str, float]:
     # winnowing is char-gram grain (~1 row/char): bench the 20% slice so
     # the entry tracks regressions without dominating the bench wall
     timed("pagerank", lambda: Q.q_pagerank(spark, sf).count())
+    timed("export_shards", lambda: Q.q_export_shards(spark, sf).count())
     timed("winnow_fingerprints",
           lambda: dedup.winnow_fingerprints(
               docs.filter("doc_id % 5 = 0").select("doc_id", "text")).count())
