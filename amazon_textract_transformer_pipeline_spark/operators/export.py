@@ -8,23 +8,25 @@ byte-identical shard membership.
 
 Assignment semantics (pinned, replayed exactly by the DuckDB oracle):
 
-* documents are ordered by the portable 64-bit hash of their id (then
-  id — a deterministic, data-independent shuffle order, the
-  `pack_sequences` salting idea at shard grain);
-* each doc costs ``length(text)`` bytes (its payload proxy); a running
-  byte total in that order is chunked by ``shard_bytes``:
+* documents are ordered by (bucket, ord_hash, id) where ``ord_hash`` is
+  the portable 64-bit hash of the id and ``bucket = ord_hash %
+  n_buckets`` — a deterministic, data-independent shuffle order (the
+  `pack_sequences` salted-bucket-stream pattern at shard grain);
+* each doc costs ``length(text)`` bytes (its payload proxy); the global
+  running byte total in that order is chunked by ``shard_bytes``:
   ``shard_id = floor((running_sum - cost) / shard_bytes)`` — the
   standard concat-and-chunk arithmetic, so a shard overflows its budget
   by at most one document rather than splitting one;
 * per-shard stats = (shard_id, n_docs, n_bytes, first/last hash) — the
   manifest rows.
 
-Scale shape (100 TB audit): ONE global-order window is the honest cost
-of contiguous size-bounded shards — mitigated exactly like
-pack_sequences: the hash order is uniform, so range partitioning under
-AQE balances it; stats are a map-side-partial aggregate on shard_id.
-The writer side is `partitionBy(shard)` parquet — no driver data path;
-only the tiny manifest relation is collected to be written as JSON.
+Scale shape (100 TB audit): NO global data window. The running total is
+two-pass: per-bucket windows run in parallel (uniform hash buckets),
+then each bucket's byte total — an ``n_buckets``-row relation — gets a
+cumulative offset via a window over that TINY relation and broadcasts
+back. Stats are a map-side-partial aggregate on shard_id. The writer
+side is `partitionBy(shard)` parquet — no driver data path; only the
+tiny manifest relation is collected to be written as JSON.
 """
 
 from __future__ import annotations
@@ -41,21 +43,37 @@ DEFAULT_SHARD_BYTES = 64 * 1024 * 1024
 
 
 def assign_shards(docs: DataFrame, shard_bytes: int = DEFAULT_SHARD_BYTES,
-                  id_col: str = "doc_id",
+                  n_buckets: int = 64, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """(input columns…, ord_hash, n_bytes, shard_id) — deterministic
-    size-bounded shard assignment (see module docstring)."""
-    w = Window.orderBy("ord_hash", id_col) \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
+    size-bounded shard assignment (see module docstring). Two-pass
+    running sum: per-bucket windows in parallel, bucket offsets via a
+    window over the n_buckets-row totals relation, broadcast back."""
+    a = (
         docs
         .withColumn("ord_hash", F.expr(
             portable.spark_hash64(f"cast({id_col} as string)")))
         .withColumn("n_bytes",
                     F.expr(f"cast(length({text_col}) as bigint)"))
-        .withColumn("shard_id", (
-            (F.sum("n_bytes").over(w) - F.col("n_bytes"))
-            / F.lit(shard_bytes)).cast("bigint"))
+        .withColumn("_bkt", F.col("ord_hash") % n_buckets)
+    )
+    wloc = Window.partitionBy("_bkt").orderBy("ord_hash", id_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a = a.withColumn("_lrun", F.sum("n_bytes").over(wloc))
+    woff = Window.orderBy("_bkt") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        a.groupBy("_bkt").agg(F.sum("n_bytes").alias("_btot"))
+        .withColumn("_boff", F.coalesce(F.sum("_btot").over(woff),
+                                        F.lit(0)))
+        .select("_bkt", "_boff")
+    )
+    return (
+        a.join(F.broadcast(offsets), "_bkt")
+        .withColumn("shard_id", F.expr(
+            f"cast(floor((_boff + _lrun - n_bytes) / {shard_bytes}) "
+            f"as bigint)"))
+        .drop("_bkt", "_lrun", "_boff")
     )
 
 
@@ -79,7 +97,8 @@ def write_shards(docs: DataFrame, out_dir: str,
     manifest dict. Re-running over the same input reproduces identical
     shard membership (deterministic assignment); ``overwrite`` mode
     makes the export idempotent."""
-    assigned = assign_shards(docs, shard_bytes, id_col, text_col)
+    assigned = assign_shards(docs, shard_bytes, id_col=id_col,
+                             text_col=text_col)
     (assigned.repartition("shard_id")
      .write.mode("overwrite").partitionBy("shard_id")
      .parquet(f"{out_dir}/shards"))
@@ -101,22 +120,35 @@ def write_shards(docs: DataFrame, out_dir: str,
     return manifest
 
 
-def export_oracle_sql(docs_cte: str, shard_bytes: int) -> str:
+def export_oracle_sql(docs_cte: str, shard_bytes: int,
+                      n_buckets: int = 64) -> str:
     """DuckDB replay of assign_shards + shard_manifest (single-sourced
-    arithmetic). ``docs_cte`` must yield (doc_id, text)."""
+    arithmetic, same two-pass bucket-offset running sum). ``docs_cte``
+    must yield (doc_id, text)."""
     h = portable.duck_hash64("cast(doc_id as varchar)")
     return f"""
 WITH a AS (
   SELECT doc_id, {h} AS ord_hash,
-         CAST(length(text) AS BIGINT) AS n_bytes
+         CAST(length(text) AS BIGINT) AS n_bytes,
+         ({h}) % {n_buckets} AS bkt
   FROM ({docs_cte})
 ),
-r AS (
-  SELECT *, CAST(floor((sum(n_bytes) OVER
-        (ORDER BY ord_hash, doc_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      - n_bytes) / {shard_bytes}) AS BIGINT) AS shard_id
+l AS (
+  SELECT *, sum(n_bytes) OVER
+      (PARTITION BY bkt ORDER BY ord_hash, doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lrun
   FROM a
+),
+o AS (
+  SELECT bkt, coalesce(sum(btot) OVER
+      (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS boff
+  FROM (SELECT bkt, sum(n_bytes) AS btot FROM a GROUP BY bkt)
+),
+r AS (
+  SELECT l.*, CAST(floor((o.boff + l.lrun - l.n_bytes)
+                         / {shard_bytes}) AS BIGINT) AS shard_id
+  FROM l JOIN o USING (bkt)
 )
 SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
