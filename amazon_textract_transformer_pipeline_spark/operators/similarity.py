@@ -24,9 +24,139 @@ def cosine_col(a: str, b: str) -> F.Column:
     return F.expr(X.cosine(a, b, "spark"))
 
 
+#: candidate-keep margin for Arrow-exact top-k selection: Spark's
+#: round(·, 9) moves a double by ≤ 5e-10, so two raw cosines more than
+#: 1e-9 apart can never swap order after rounding — keeping everything
+#: within 1e-9 of the k-th best raw value guarantees the post-rounding
+#: top-k is a subset of the kept rows, with the final pick made by
+#: Spark's own round + window (no Python-side rounding semantics).
+_ROUND9_MARGIN = 1e-9
+
+
+def _fold_dot(mat, qmat):
+    """(n, q) cosine numerators/denominators with the EXACT association
+    order of textsql.cosine's Spark HOF fold (left-to-right double
+    accumulation): per-dimension products rounded to double, then
+    sequential adds — bit-identical to the relational path, unlike one
+    numpy matmul (pairwise/FMA summation)."""
+    import numpy as np
+
+    n, d = mat.shape
+    acc = np.zeros((n, qmat.shape[0]))
+    for i in range(d):
+        acc += mat[:, i:i + 1] * qmat[None, :, i]
+    nrm = np.zeros(n)
+    for i in range(d):
+        nrm += mat[:, i] * mat[:, i]
+    return acc, np.sqrt(nrm)
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, topk: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact top-k neighbors per query (query ≠ self). Broadcast queries."""
+    """Exact top-k neighbors per query (query ≠ self).
+
+    Round-7 optimization (guide §4.2): the O(N·Q) scoring runs as an
+    Arrow kernel instead of a BroadcastNestedLoopJoin over interpreted
+    HOF folds — the query matrix is collected (queries ≪ corpus, the
+    same budget the broadcast paid) and each corpus batch computes all
+    cosines with the exact fold association order (:func:`_fold_dot`),
+    keeping per task only candidates within :data:`_ROUND9_MARGIN` of
+    the k-th best raw score (any row dropped is provably outside the
+    post-rounding top-k). The final round(·, 9) + per-query window runs
+    in Spark on ~(tasks × Q × k) rows, so results are bit-identical to
+    the relational form (kept as :func:`brute_force_topk_sql`,
+    parity-tested) and to the DuckDB oracle.
+
+    Zero-norm vectors keep the SQL path's NULL-cosine semantics: NULL
+    rows sort after every scored row and are emitted per task capped at
+    ``topk`` lowest cand_ids per query — exactly the rows that could
+    still place in a top-k short of scored candidates.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    _schema_out = T.StructType([
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("cand_id", T.LongType(), False),
+        T.StructField("cos", T.DoubleType(), True),
+    ])
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame([], _schema_out)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    nq = len(qids)
+    qnrm = np.zeros(nq)
+    for i in range(qmat.shape[1]):
+        qnrm += qmat[:, i] * qmat[:, i]
+    qnrm = np.sqrt(qnrm)
+
+    def run(batches):
+        # per-query running keep-set across the task's batches
+        vals = [np.empty(0) for _ in range(nq)]
+        cids = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        null_ids = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        for b in batches:
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            if not len(ids):
+                continue
+            mat = np.array(list(b[vec_col]), dtype=np.float64)
+            dot, cnrm = _fold_dot(mat, qmat)
+            denom = cnrm[:, None] * qnrm[None, :]  # qv is `a` in cosine(a, b)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / denom
+            for j in range(nq):
+                mask = ids != qids[j]
+                v, c, dn = cos[mask, j], ids[mask], denom[mask, j]
+                nullm = dn == 0.0
+                if nullm.any():
+                    nu = np.sort(np.concatenate([null_ids[j], c[nullm]]))
+                    null_ids[j] = nu[:topk]
+                    v, c = v[~nullm], c[~nullm]
+                if len(v):
+                    vals[j] = np.concatenate([vals[j], v])
+                    cids[j] = np.concatenate([cids[j], c])
+                if len(vals[j]) > topk:
+                    kth = np.partition(vals[j], -topk)[-topk]
+                    keep = vals[j] >= kth - _ROUND9_MARGIN
+                    vals[j], cids[j] = vals[j][keep], cids[j][keep]
+        out_q: list = []
+        out_c: list = []
+        out_v: list = []
+        for j in range(nq):
+            out_q.extend([qids[j]] * (len(vals[j]) + len(null_ids[j])))
+            out_c.extend(cids[j].tolist() + null_ids[j].tolist())
+            out_v.extend(vals[j].tolist() + [None] * len(null_ids[j]))
+        if out_q:
+            yield pd.DataFrame({"query_id": out_q, "cand_id": out_c,
+                                "cos_raw": out_v})
+
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("cand_id", T.LongType(), False),
+        T.StructField("cos_raw", T.DoubleType(), True),
+    ])
+    partial = corpus.select(id_col, vec_col).mapInPandas(run, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        partial.select("query_id", "cand_id",
+                       F.round(F.col("cos_raw"), 9).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "cand_id", "cos")
+    )
+
+
+def brute_force_topk_sql(corpus: DataFrame, queries: DataFrame, topk: int = 5,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Relational (oracle-shaped) exact top-k — the round-6 form:
+    broadcast queries, HOF-fold cosines, one window per query. Kept as
+    the cross-checkable baseline for :func:`brute_force_topk`'s exact
+    Arrow kernel (parity-tested bit-identical)."""
     q = F.broadcast(queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
     c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
