@@ -995,6 +995,9 @@ def _mc_classified(spark, sf_dir) -> DataFrame:
             "'<', '&lt;'), '>', '&gt;'))"))
         .select("doc_id", F.encode(F.expr(html), "UTF-8").alias("html"))
     )
+    from .plans.partitioning import spread_if_narrow
+
+    pages = spread_if_narrow(pages, "doc_id")  # python parse: parallelize
     return classify_blocks(html_to_blocks(pages, id_col="doc_id"),
                            id_col="doc_id")
 
@@ -1287,8 +1290,10 @@ def q_html_meta(spark, sf_dir) -> DataFrame:
     title = f"concat('<title> Doc ', {s}, ' &amp;  friends </title>')"
     html = (f"concat('<html><head>', {robots}, {canonical}, {refresh}, "
             f"{title}, '</head><body><p>x</p></body></html>')")
-    pages = _docs(spark, sf_dir).select(
-        "doc_id", F.encode(F.expr(html), "UTF-8").alias("html"))
+    from .plans.partitioning import spread_if_narrow
+
+    pages = spread_if_narrow(_docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.expr(html), "UTF-8").alias("html")), "doc_id")
     return html_meta_flags(pages, id_col="doc_id")
 
 

@@ -378,57 +378,122 @@ def decontaminate_mask(docs: DataFrame, blocklist: DataFrame,
         .distinct()
     )
     ws = X.words(text_col, "spark")
-    base = docs.select(id_col, F.expr(ws).alias("ws"))
+    base = _spread(docs.select(id_col, F.expr(ws).alias("ws")), id_col)
     grams = _positional_grams(base, n, id_col)
     matched = grams.join(bad, "gh").select(id_col, "pos")
     return _mask_matched_spans(base, matched, n, id_col)
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """See plans.partitioning.spread_if_narrow (shared round-7 helper)."""
+    from ..plans.partitioning import spread_if_narrow
+
+    return spread_if_narrow(df, key)
+
+
 def _positional_grams(base: DataFrame, n: int, id_col: str) -> DataFrame:
     """(id, pos, gh): every word ``n``-gram of a (id, ws) relation with
-    its 0-based start position and 64-bit hash. Map-only."""
-    return (
-        base.filter(F.expr(f"size(ws) >= {n}"))
-        .select(id_col, F.posexplode(F.expr(
-            f"transform(sequence(0, size(ws) - {n}), "
-            f"i -> concat_ws(' ', slice(ws, i + 1, {n})))"))
-            .alias("pos", "gram"))
-        .withColumn("gh", F.expr(X.h64("gram", "spark")))
-        .drop("gram")
-    )
+    its 0-based start position and 64-bit hash. Map-only Arrow kernel
+    (round-7, guide §4.2): the per-gram slice+join+md5 runs in Python on
+    whole batches instead of an interpreted transform() + codegen md5
+    per exploded row — integer md5-prefix hashes, so values are
+    bit-identical to the relational form and the DuckDB oracle."""
+    import hashlib
+
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    id_type = base.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_type, True),
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("gh", T.LongType(), False),
+    ])
+    md5 = hashlib.md5
+
+    def run(batches):
+        for b in batches:
+            ids: list = []
+            poss: list = []
+            ghs: list = []
+            for did, ws in zip(b[id_col], b["ws"]):
+                m = len(ws) - n + 1
+                if m <= 0:
+                    continue
+                ws = list(ws)
+                ids.extend([did] * m)
+                poss.extend(range(m))
+                ghs.extend(
+                    int(md5(" ".join(ws[i:i + n]).encode("utf-8"))
+                        .hexdigest()[:15], 16) for i in range(m))
+            yield pd.DataFrame({id_col: ids, "pos": poss, "gh": ghs})
+
+    return base.select(id_col, "ws").mapInPandas(run, schema=schema)
 
 
 def _mask_matched_spans(base: DataFrame, matched: DataFrame, n: int,
                         id_col: str) -> DataFrame:
     """Shared masking tail: given (id, ws) and matched span starts
     (id, pos), cut the covered-position union word-exactly and
-    reassemble. Every input doc keeps a row. All keys doc-grain."""
-    covered = matched.select(
-        id_col,
-        F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("wpos"),
-    ).distinct()
-    words = base.select(id_col, F.posexplode("ws").alias("wpos", "word"))
-    kept = words.join(covered, [id_col, "wpos"], "left_anti")
-    agg = kept.groupBy(id_col).agg(
-        F.expr("concat_ws(' ', transform(array_sort(collect_list("
-               "struct(wpos, word))), x -> x.word))").alias("kept_text"),
-        F.count("*").cast("bigint").alias("n_words_kept"))
-    spans = matched.groupBy(id_col).agg(
+    reassemble. Every input doc keeps a row. All keys doc-grain.
+
+    Round-7 shape (guide §2.3/§4.2): ONE doc-grain aggregate collects
+    each doc's matched span starts, one left join attaches them to the
+    corpus, and a per-doc Arrow kernel does the covered-union cut and
+    reassembly (pure integer/string work — bit-identical to the DuckDB
+    replay). The round-6 form exploded covered positions AND every word
+    back into rows (an anti-join + a collect_list/array_sort aggregate),
+    which made ``matched`` feed two consumers — Spark re-derived the
+    whole gram-match subtree per consumer (4 Generates in the round-6
+    plan); now every stage has exactly one consumer, no checkpoint
+    needed."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    magg = matched.groupBy(id_col).agg(
+        F.collect_list("pos").alias("mpos"),
         F.count("*").cast("bigint").alias("n_matched_spans"))
-    n_in = base.select(
-        id_col, F.expr("cast(size(ws) as bigint)").alias("n_words"))
-    return (
-        n_in.join(agg, id_col, "left").join(spans, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
-            "n_words",
-            (F.col("n_words") - F.coalesce("n_words_kept", F.lit(0)))
-            .cast("bigint").alias("n_words_removed"),
-            F.coalesce("n_matched_spans", F.lit(0)).cast("bigint")
-            .alias("n_matched_spans"),
-        )
-    )
+    joined = base.join(magg, id_col, "left")
+
+    id_type = base.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_type, True),
+        T.StructField("kept_text", T.StringType(), False),
+        T.StructField("n_words", T.LongType(), False),
+        T.StructField("n_words_removed", T.LongType(), False),
+        T.StructField("n_matched_spans", T.LongType(), False),
+    ])
+
+    def run(batches):
+        for b in batches:
+            ids: list = []
+            kept: list = []
+            nw: list = []
+            nrm: list = []
+            nsp: list = []
+            for did, ws, mp, ns in zip(b[id_col], b["ws"], b["mpos"],
+                                       b["n_matched_spans"]):
+                ws = list(ws)
+                ids.append(did)
+                nw.append(len(ws))
+                if mp is None or not len(mp):
+                    kept.append(" ".join(ws))
+                    nrm.append(0)
+                    nsp.append(0)
+                    continue
+                covered = set()
+                for p in mp:
+                    covered.update(range(p, p + n))
+                keep = [w for i, w in enumerate(ws) if i not in covered]
+                kept.append(" ".join(keep))
+                nrm.append(len(ws) - len(keep))
+                nsp.append(int(ns))
+            yield pd.DataFrame({id_col: ids, "kept_text": kept,
+                                "n_words": nw, "n_words_removed": nrm,
+                                "n_matched_spans": nsp})
+
+    return joined.select(id_col, "ws", "mpos", "n_matched_spans") \
+        .mapInPandas(run, schema=schema)
 
 
 def exact_substring_dedup(docs: DataFrame, n: int = 50,
@@ -466,7 +531,7 @@ def exact_substring_dedup(docs: DataFrame, n: int = 50,
     is all doc-grain keys.
     """
     ws = X.words(text_col, "spark")
-    base = docs.select(id_col, F.expr(ws).alias("ws"))
+    base = _spread(docs.select(id_col, F.expr(ws).alias("ws")), id_col)
     grams = _positional_grams(base, n, id_col)
     dup_firsts = (
         grams.groupBy("gh")
@@ -567,14 +632,7 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
             yield pd.DataFrame({id_col: ids_out, "pos": pos_out,
                                 "fp": fp_out})
 
-    src = docs.select(id_col, text_col)
-    # the kernel is CPU-bound per doc: when the scan yields fewer splits
-    # than cores (one small parquet file locally), spread docs across the
-    # fleet first — one narrow (id, text) exchange, deterministic key; at
-    # corpus scale the scan already has ≥ cores splits and this is a no-op
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par, F.col(id_col))
+    src = _spread(docs.select(id_col, text_col), id_col)
     return src.mapInPandas(run, schema=schema)
 
 

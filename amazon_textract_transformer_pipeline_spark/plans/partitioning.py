@@ -51,3 +51,18 @@ def bucket_by_url(df: DataFrame, n_buckets: int, url_col: str = "url",
 def sort_by_cost_bucket(windows: DataFrame, cost_col: str = "n_tokens") -> DataFrame:
     """Cheap straggler mitigation before a batched model UDF."""
     return windows.sortWithinPartitions(F.col(cost_col).desc())
+
+
+def spread_if_narrow(df: DataFrame, key: str) -> DataFrame:
+    """Spread a narrow scan across the fleet before a CPU-bound Arrow
+    stage (round-7, guide §2.2/§6): a small local parquet file arrives as
+    ONE split, which serializes every downstream Python kernel onto a
+    single worker. When the input has fewer partitions than cores, one
+    cheap deterministic-key exchange buys full parallelism; at corpus
+    scale the scan already has ≥ cores splits and this is a no-op (no
+    exchange is added). Batch-only (``.rdd`` is illegal on streaming
+    DataFrames — streaming sources are already split by the source)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, F.col(key))
+    return df

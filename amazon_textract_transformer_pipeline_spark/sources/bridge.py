@@ -65,4 +65,9 @@ def pages_from_documents(documents: DataFrame) -> DataFrame:
                 htmls.append(h)
             yield pd.DataFrame({"url": urls, "html": htmls})
 
-    return documents.select("doc_id", "text").mapInPandas(run, schema=_BRIDGE_SCHEMA)
+    from ..plans.partitioning import spread_if_narrow
+
+    # the bridge + front-end parse are CPU-bound Python: a one-split local
+    # parquet scan would serialize them onto one worker (round-7 fix)
+    src = spread_if_narrow(documents.select("doc_id", "text"), "doc_id")
+    return src.mapInPandas(run, schema=_BRIDGE_SCHEMA)
