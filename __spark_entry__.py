@@ -64,8 +64,34 @@ sk AS (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is load-bearing: the round-6 driver validated exactly the
+    # FIRST 50 entries, so (round-6 verdict, "Next round" #1) the entries
+    # that most need a fresh driver row come first — the 12 round-6
+    # operators that never had one plus the 4 gates whose code changed in
+    # round 6, followed by every query whose physical path changed in this
+    # optimization round (extraction family, split/main-content,
+    # semantic_dedup, ann_bruteforce_topk, corpus filter, dedup kernels).
+    # Long-stable gates with green r5/r6 rows on unchanged code rotate to
+    # the back; nothing is removed.
     return {
-        # extraction path (SURVEY §2.3/§2.4/§2.8)
+        # --- never-driver-validated round-6 operators + round-6-stale gates
+        "pdf_metadata": Q.q_pdf_metadata,
+        "pdf_extract": Q.q_pdf_extract,
+        "gopher_filters": Q.q_gopher_filters,
+        "c4_filters": Q.q_c4_filters,
+        "bpe_merges": Q.q_bpe_merges,
+        "bpe_tokenize": Q.q_bpe_tokenize,
+        "winnow_fingerprints": Q.q_winnow_fingerprints,
+        "pagerank": Q.q_pagerank,
+        "export_shards": Q.q_export_shards,
+        "decontaminate_mask": Q.q_decontaminate_mask,
+        "exact_substring_dedup": Q.q_exact_substring_dedup,
+        "pack_sequences": Q.q_pack_sequences,
+        "url_dedup_latest": Q.q_url_dedup_latest,
+        "vocab_top_k": Q.q_vocab_top_k,
+        "html_meta": Q.q_html_meta,
+        "corpus_report": Q.q_corpus_report,
+        # --- extraction path (changed: bridge spread)
         "extract_text": Q.q_extract_text,
         "word_enrichment": Q.q_word_enrichment,
         "entity_mentions": Q.q_entity_mentions,
@@ -73,11 +99,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fields": Q.q_fields,
         "doc_confidence": Q.q_doc_confidence,
         "apply_review": Q.q_apply_review,
-        # evaluation metric computers (ner.py / seq2seq metrics analogs)
         "eval_token_metrics": Q.q_eval_token_metrics,
         "eval_class_ratios": Q.q_eval_class_ratios,
         "eval_seq2seq_acc": Q.q_eval_seq2seq_acc,
-        # dedup / sketches
+        # --- splitter over the spread bridge
+        "split_windows": Q.q_split_windows,
+        # --- densitometric main content (spread parse)
+        "main_content_blocks": Q.q_main_content_blocks,
+        "main_content_text": Q.q_main_content_text,
+        # --- exact-Arrow assignment kernel (round 7)
+        "semantic_dedup": Q.q_semantic_dedup,
+        # --- exact-Arrow top-k kernel (round 7)
+        "ann_bruteforce_topk": Q.q_ann_bruteforce_topk,
+        # --- composed filter
+        "corpus_filter": Q.q_corpus_filter,
+        # --- dedup / sketch family
         "fingerprint": Q.q_fingerprint,
         "minhash_signature": Q.q_minhash_signature,
         "lsh_buckets": Q.q_lsh_buckets,
@@ -90,85 +126,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": Q.q_simhash,
         "simhash_hamming_consecutive": Q.q_simhash_hamming_consecutive,
         "embedding_cosine_consecutive": Q.q_embedding_cosine_consecutive,
-        # SemDedup: clustered embedding-cosine dedup (planted-copy corpus)
-        "semantic_dedup": Q.q_semantic_dedup,
-        # similarity search
-        "ann_bruteforce_topk": Q.q_ann_bruteforce_topk,
+        # --- similarity search
         "ann_lsh_topk": Q.q_ann_lsh_topk,
         "ann_ivf_topk": Q.q_ann_ivf_topk,
-        # text stats
+        # --- text stats
         "text_stats": Q.q_text_stats,
         "langid_scores": Q.q_langid_scores,
-        # geometric label join (G1/G2)
+        # --- geometric label join (G1/G2)
         "g1_word_labels": Q.q_g1_word_labels,
-        # reference aggregation shapes (§2.9-§2.10)
+        # --- Gopher repetition signals
+        "gopher_repetition": Q.q_gopher_repetition,
+        # --- r5/r6-green gates on unchanged code (past the 50-window)
         "o1_group_minmax": Q.q_o1_group_minmax,
         "top1_per_group": Q.q_top1_per_group,
         "noisy_or_events": Q.q_noisy_or_events,
-        # windowed analytics (tumbling rollup + gap sessionization, §2.12)
         "tumbling_windows": Q.q_tumbling_windows,
         "session_windows": Q.q_session_windows,
         "s4_pagination_merge": Q.q_s4_pagination_merge,
         "train_test_split": Q.q_train_test_split,
-        # SMGT extended custom-task form → seq2seq examples
         "smgt_seq2seq": Q.q_smgt_seq2seq,
-        # web-corpus cleaning (canonical urls, boilerplate-line removal)
         "canonical_urls": Q.q_canonical_urls,
         "boilerplate_lines": Q.q_boilerplate_lines,
-        # densitometric main-content classification (WSDM-2010 tree)
-        "main_content_blocks": Q.q_main_content_blocks,
-        "main_content_text": Q.q_main_content_text,
-        # C4 three-sentence-span global dedup
         "c4_span_dedup": Q.q_c4_span_dedup,
-        # CCNet-style LM perplexity quality scoring (stupid backoff)
         "lm_perplexity": Q.q_lm_perplexity,
-        # GPT-3-style NB corpus-selection classifier (train + score)
         "quality_nb": Q.q_quality_nb,
-        # per-doc top-k tf-idf salient terms
         "tfidf_top_terms": Q.q_tfidf_top_terms,
-        # UT1-style domain blocklist filter (suffix-match semi-join)
         "domain_blocklist": Q.q_domain_blocklist,
-        # corpus composition: intra-doc line dedup, mixture sampling,
-        # DSIR importance, and the composed corpus filter
         "doc_line_dedup": Q.q_doc_line_dedup,
         "mixture_sample": Q.q_mixture_sample,
         "dsir_importance": Q.q_dsir_importance,
-        "corpus_filter": Q.q_corpus_filter,
-        "corpus_report": Q.q_corpus_report,
-        # cross-snapshot URL dedup + sequence packing
-        "url_dedup_latest": Q.q_url_dedup_latest,
-        "pack_sequences": Q.q_pack_sequences,
-        # crawl-policy metadata (robots/canonical/title/refresh)
-        "html_meta": Q.q_html_meta,
-        # corpus vocabulary head (tokenizer/stopword-fit input)
-        "vocab_top_k": Q.q_vocab_top_k,
-        # distributed BPE tokenizer fitting + literal-merge tokenize
-        "bpe_merges": Q.q_bpe_merges,
-        "bpe_tokenize": Q.q_bpe_tokenize,
-        # surgical decontamination (mask matched spans, keep the doc)
-        "decontaminate_mask": Q.q_decontaminate_mask,
-        # ExactSubstr dedup (corpus-wide first occurrence survives)
-        "exact_substring_dedup": Q.q_exact_substring_dedup,
-        # Winnowing (MOSS) position-robust fingerprints
-        "winnow_fingerprints": Q.q_winnow_fingerprints,
-        # host-graph PageRank (crawl-frontier / host-quality prior)
-        "pagerank": Q.q_pagerank,
-        # deterministic size-bounded shard assignment (release sink)
-        "export_shards": Q.q_export_shards,
-        # exact-value via recursive-CTE / closed-form-spec oracles
-        "split_windows": Q.q_split_windows,
         "g4_box_merge": Q.q_g4_box_merge,
         "multimodal_metadata": Q.q_multimodal_metadata,
         "real_media_metadata": Q.q_real_media_metadata,
-        # PDF front door: native xref/page-tree/content-stream parse
-        "pdf_metadata": Q.q_pdf_metadata,
-        "pdf_extract": Q.q_pdf_extract,
-        # WHATWG charset sniffing: mixed encodings → identical text
         "charset_extract": Q.q_charset_extract,
-        # Gopher/C4 pre-training quality filter rules (exact values)
-        "gopher_filters": Q.q_gopher_filters,
-        "gopher_repetition": Q.q_gopher_repetition,
-        "c4_filters": Q.q_c4_filters,
     }
 
 

@@ -835,9 +835,10 @@ EXPORT_SHARD_BYTES = 65536
 def q_export_shards(spark, sf_dir) -> DataFrame:
     """Deterministic size-bounded shard assignment for corpus release:
     hash-ordered running byte sum chunked by the shard budget, manifest
-    stats per shard. One global-order window (the honest cost of
-    contiguous shards) + one map-side-partial aggregate; DuckDB replays
-    the identical arithmetic."""
+    stats per shard. The running sum is the bucketed two-pass scheme
+    (export.assign_shards: per-bucket partial sums + a bucket-offset
+    broadcast — NO global-order window) + one map-side-partial
+    aggregate; DuckDB replays the identical arithmetic."""
     from .operators.export import assign_shards, shard_manifest
 
     return shard_manifest(assign_shards(

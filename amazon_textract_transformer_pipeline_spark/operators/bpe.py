@@ -131,10 +131,15 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int,
         symbols = merged.drop("_rank", "_ml", "_mr", "_mc")
     out = None
     for r in rounds:
+        # a round past the learnable-pair supply yields an all-NULL winner
+        # (ungrouped agg over an empty pair set); DuckDB's LIMIT 1 over the
+        # empty w{i} emits no row — filter the NULL winner so degenerate
+        # corpora stay cross-engine identical (round-6 ADVICE)
         w = r.select(F.col("_rank").alias("rank"),
                      F.col("_ml").alias("left"),
                      F.col("_mr").alias("right"),
-                     F.col("_mc").alias("pair_count")).limit(1)
+                     F.col("_mc").alias("pair_count")).limit(1) \
+            .filter(F.col("left").isNotNull())
         out = w if out is None else out.unionByName(w)
     return out
 

@@ -502,13 +502,14 @@ def composed_quality_verdicts(docs: DataFrame, blocklist: DataFrame,
         else filter_blocked_domains(docs, blocklist, url_col=url_col)
     )
     out = (
-        with_langid(flagged)
+        with_langid(flagged, text_col=text_col)
         .withColumn("gopher_pass",
                     F.expr(gopher_exprs(text_col, "spark")["gopher_pass"]))
         .withColumn("c4_pass",
                     F.expr(c4_exprs(text_col, "spark")["c4_pass"]))
         .withColumn("dsir_sampled",
-                    F.expr(importance_exprs(text_col, "spark")
+                    F.expr(importance_exprs(text_col, "spark",
+                                            id_expr=id_col)
                            ["dsir_sampled"]))
     )
     reason = (
