@@ -78,38 +78,72 @@ def shingle_rows(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         .alias("shingle"))
 
 
+def _shingle_hashes_py(ws, n: int, md5) -> "list[int]":
+    """Python twin of h64(shingles(ws, n)) — the md5-prefix hash of each
+    word n-gram, whole-text fallback below n words (textsql.shingles
+    semantics, integer-exact)."""
+    m = len(ws) - n + 1
+    if m <= 0:
+        grams = [" ".join(ws)]
+    else:
+        grams = [" ".join(ws[i:i + n]) for i in range(m)]
+    return [int(md5(g.encode("utf-8")).hexdigest()[:15], 16) for g in grams]
+
+
 def minhash_signatures(docs: DataFrame, k: int = DEFAULT_K, n: int = 3,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Relational MinHash: shingle rows → codegen'd md5 → k permuted mins in
-    one hash aggregate. Identical values to textsql.minhash_signature (the
-    DuckDB oracle form). Returns (id_col, minhash ARRAY<BIGINT>)."""
+    """MinHash signatures — k permuted mins over shingle hashes.
+
+    Round-7 shape (guide §4.2): ONE zero-shuffle Arrow kernel per doc
+    (words arrive pre-split from the JVM; md5 + the affine permutations
+    are exact BIGINT math, bit-identical to textsql.minhash_signature /
+    the DuckDB oracle). The round-6 relational form exploded shingle
+    rows through a repartition barrier and a 16-column hash aggregate —
+    one exchange plus a multi-KB codegen unit per invocation; kept as
+    the shingle_rows-based verification path's machinery only. Returns
+    (id_col, minhash ARRAY<BIGINT>)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
     P = X.MINHASH_PRIME
-    hs = shingle_rows(docs, n, id_col, text_col).select(
-        id_col, F.expr(f"{X.h64('shingle', 'spark')} % {P}").alias("h"))
-    mins = [
-        F.min(F.expr(f"((2*{j} + 1) * h + 7 + 3*{j}) % {P}")).alias(f"_m{j}")
-        for j in range(k)
-    ]
-    return (
-        hs.groupBy(id_col).agg(*mins)
-        .select(id_col, F.array(*[f"_m{j}" for j in range(k)]).alias("minhash"))
-    )
+    id_type = docs.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_type, True),
+        T.StructField("minhash", T.ArrayType(T.LongType()), False),
+    ])
+    md5 = hashlib.md5
+    js = np.arange(k, dtype=np.int64)
+    mul = 2 * js + 1
+    add = 7 + 3 * js
+
+    def run(batches):
+        for b in batches:
+            ids: list = []
+            sigs: list = []
+            for did, ws in zip(b[id_col], b["ws"]):
+                ws = [] if ws is None else list(ws)
+                hs = np.array(_shingle_hashes_py(ws, n, md5),
+                              dtype=np.int64) % P
+                # perm_j(h) = ((2j+1)·h + 7+3j) mod P; products < 2^62
+                sig = (mul[:, None] * hs[None, :] + add[:, None]) % P
+                ids.append(did)
+                sigs.append(sig.min(axis=1).tolist())
+            yield pd.DataFrame({id_col: ids, "minhash": sigs})
+
+    base = _spread(docs.select(
+        id_col, F.expr(X.words(text_col, "spark")).alias("ws")), id_col)
+    return base.mapInPandas(run, schema=schema)
 
 
-def lsh_band_buckets(docs: DataFrame, k: int = DEFAULT_K,
-                     n_bands: int = DEFAULT_BANDS, n: int = 3,
-                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """doc → (band_ix, band_hash) rows; bucket key is the LSH join key.
-
-    Flat codegen plan: the signature arrives as k scalar columns from one
-    hash aggregate; each band hash is a plain md5 over their concatenation;
-    ``stack`` unpivots to rows. No lambdas anywhere (see shingle_rows notes).
-    """
+def _bands_from_wide_sig(sig: DataFrame, k: int,
+                         n_bands: int) -> DataFrame:
+    """(doc_id, _s0.._s{k-1}) → (doc_id, band_ix, band_hash) rows; each
+    band hash is a plain md5 over the band's signature values; ``stack``
+    unpivots to rows. No lambdas anywhere (see shingle_rows notes)."""
     rows = k // n_bands
-    sig = minhash_signatures(docs, k, n, id_col, text_col).select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col("minhash")[i].alias(f"_s{i}") for i in range(k)],
-    )
     band_cols = []
     for b in range(n_bands):
         parts = ", ".join(
@@ -121,6 +155,19 @@ def lsh_band_buckets(docs: DataFrame, k: int = DEFAULT_K,
              + ") as (band_ix, band_hash)")
     return sig.select("doc_id", F.expr(stack)).select(
         "doc_id", F.col("band_ix").cast("int").alias("band_ix"), "band_hash")
+
+
+def lsh_band_buckets(docs: DataFrame, k: int = DEFAULT_K,
+                     n_bands: int = DEFAULT_BANDS, n: int = 3,
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc → (band_ix, band_hash) rows; bucket key is the LSH join key.
+    Signatures come from the Arrow kernel (round 7); band hashing stays a
+    flat codegen projection."""
+    sig = minhash_signatures(docs, k, n, id_col, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col("minhash")[i].alias(f"_s{i}") for i in range(k)],
+    )
+    return _bands_from_wide_sig(sig, k, n_bands)
 
 
 def lsh_bucket_stats(docs: DataFrame, k: int = DEFAULT_K,
@@ -144,13 +191,19 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = DEFAULT_K,
     """Distinct candidate pairs (a < b) sharing ≥1 band bucket. Buckets over
     ``max_bucket`` docs are dropped (boilerplate guard) — count them via
     :func:`lsh_bucket_stats` instead of letting one bucket go quadratic."""
-    # Materialize band rows through ONE exchange keyed by the bucket: the
-    # band hash computes once map-side (whole-stage codegen), and every
-    # consumer (size filter + both self-join sides) is a ReusedExchange
-    # already partitioned on the join key — no cache, no recompute, no extra
-    # shuffles. (Columnar cache of array columns and HOF re-inlining are both
-    # pathological here — see lsh_band_buckets plan notes.)
-    b = lsh_band_buckets(docs, k, n_bands, n).repartition("band_ix", "band_hash")
+    return _candidates_from_bands(lsh_band_buckets(docs, k, n_bands, n),
+                                  max_bucket)
+
+
+def _candidates_from_bands(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Band rows → distinct candidate pairs (a < b) sharing ≥1 bucket.
+
+    Materialize band rows through ONE exchange keyed by the bucket: every
+    consumer (size filter + both self-join sides) is a ReusedExchange
+    already partitioned on the join key — no cache, no recompute, no extra
+    shuffles. (Columnar cache of array columns and HOF re-inlining are both
+    pathological here — see shingle_rows plan notes.)"""
+    b = bands.repartition("band_ix", "band_hash")
     sizes = b.groupBy("band_ix", "band_hash").agg(F.count("*").alias("sz"))
     small = b.join(
         sizes.filter(F.col("sz") <= max_bucket), ["band_ix", "band_hash"]
@@ -176,8 +229,30 @@ def near_duplicates(docs: DataFrame, threshold: float = 0.7,
     path; the shingle join is keyed (doc, shingle) so only candidate pairs'
     shingles move.
     """
-    cands = lsh_candidate_pairs(docs, k, n_bands, n)
-    sr = shingle_rows(docs, n, id_col, text_col).distinct()
+    # ONE distinct shingle relation feeds signatures, counts, and both
+    # verification sides (round 7): MinHash mins over a multiset equal
+    # the mins over its set, so deriving the signature from the DISTINCT
+    # shingles is value-identical to minhash_signatures while sharing the
+    # shingle construction with verification (the kernel path would
+    # rebuild shingles separately in Python). localCheckpoint truncates
+    # the four consumers' lineage onto one materialization — without it
+    # the optimizer replays the explode subtree per consumer (~10 copies
+    # in the round-6 physical plan, most of that query's planning +
+    # codegen wall). The relation was crossing two verification-join
+    # exchanges anyway, so the materialization adds no new data volume
+    # class at corpus scale (the semantic_dedup members precedent).
+    sr = shingle_rows(docs, n, id_col, text_col).distinct() \
+        .localCheckpoint(eager=False)
+    P = X.MINHASH_PRIME
+    hs = sr.select(id_col,
+                   F.expr(f"{X.h64('shingle', 'spark')} % {P}").alias("h"))
+    mins = [
+        F.min(F.expr(f"((2*{j} + 1) * h + 7 + 3*{j}) % {P}")).alias(f"_s{j}")
+        for j in range(k)
+    ]
+    sig = hs.groupBy(id_col).agg(*mins).withColumnRenamed(id_col, "doc_id")
+    cands = _candidates_from_bands(
+        _bands_from_wide_sig(sig, k, n_bands), max_bucket=1000)
     counts = sr.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     sa = sr.select(F.col(id_col).alias("a"), "shingle")
@@ -209,27 +284,55 @@ def simhash_sketch(docs: DataFrame, id_col: str = "doc_id",
     space (N²/B), so 32 bits caps the corpus size this engine claims —
     64-bit buckets keep growing to 10^12 docs (VERDICT r2 #4). Bit 63 packs
     as the BIGINT sign bit (weight Long.MIN)."""
-    wh = docs.select(
-        id_col,
-        F.explode(F.expr(X.words(text_col, "spark"))).alias("w"),
-    ).select(
-        id_col,
-        F.expr(portable.spark_hash32("w", 1)).alias("h_lo"),
-        F.expr(portable.spark_hash32("w", 9)).alias("h_hi"),
-    )
-    sums = []
-    for b in range(bits):
-        src, sh = ("h_lo", b) if b < 32 else ("h_hi", b - 32)
-        sums.append(
-            F.sum(F.expr(f"(({src} >> {sh}) & 1) * 2 - 1")).alias(f"_b{b}"))
-    bitsv = sum(
-        (F.when(F.col(f"_b{b}") > 0,
-                 F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("bigint"))
-         .otherwise(F.lit(0).cast("bigint")))
-        for b in range(bits)
-    )
-    agg = wh.groupBy(id_col).agg(*sums).select(
-        id_col, bitsv.alias("simhash"))
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    id_type = docs.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_type, True),
+        T.StructField("simhash", T.LongType(), False),
+    ])
+    md5 = hashlib.md5
+    shifts = np.arange(32, dtype=np.int64)
+
+    # round-7 shape (guide §4.2): the word explode + two codegen'd
+    # 32-bit md5 slices + a 64-column bit-sum aggregate (one exchange,
+    # a multi-KB codegen unit) collapse into one zero-shuffle Arrow
+    # kernel — md5 hex-slice ints and ±1 bit sums are exact integers,
+    # bit-identical to textsql.simhash / the DuckDB oracle.
+    def run(batches):
+        for b in batches:
+            ids: list = []
+            sks: list = []
+            for did, ws in zip(b[id_col], b["ws"]):
+                ids.append(did)
+                if ws is None or not len(ws):
+                    sks.append(0)  # the left-join coalesce(0) contract
+                    continue
+                digs = [md5(w.encode("utf-8")).hexdigest() for w in ws]
+                lo = np.array([int(d[:8], 16) for d in digs], dtype=np.int64)
+                hi = np.array([int(d[8:16], 16) for d in digs],
+                              dtype=np.int64)
+                sums = np.concatenate([
+                    (((lo[:, None] >> shifts[None, :]) & 1) * 2 - 1)
+                    .sum(axis=0),
+                    (((hi[:, None] >> shifts[None, :]) & 1) * 2 - 1)
+                    .sum(axis=0),
+                ])[:bits]
+                sk = 0
+                for bb in np.nonzero(sums > 0)[0]:
+                    sk |= 1 << int(bb)
+                if sk >= 1 << 63:  # bit 63 = the BIGINT sign bit
+                    sk -= 1 << 64
+                sks.append(sk)
+            yield pd.DataFrame({id_col: ids, "simhash": sks})
+
+    base = _spread(docs.select(
+        id_col, F.expr(X.words(text_col, "spark")).alias("ws")), id_col)
+    agg = base.mapInPandas(run, schema=schema)
     return docs.join(agg, id_col, "left").withColumn(
         "simhash", F.coalesce("simhash", F.lit(0).cast("bigint")))
 
@@ -417,6 +520,8 @@ def _positional_grams(base: DataFrame, n: int, id_col: str) -> DataFrame:
             poss: list = []
             ghs: list = []
             for did, ws in zip(b[id_col], b["ws"]):
+                if ws is None:
+                    continue
                 m = len(ws) - n + 1
                 if m <= 0:
                     continue
@@ -473,7 +578,7 @@ def _mask_matched_spans(base: DataFrame, matched: DataFrame, n: int,
             nsp: list = []
             for did, ws, mp, ns in zip(b[id_col], b["ws"], b["mpos"],
                                        b["n_matched_spans"]):
-                ws = list(ws)
+                ws = [] if ws is None else list(ws)
                 ids.append(did)
                 nw.append(len(ws))
                 if mp is None or not len(mp):

@@ -64,7 +64,7 @@ def synth_media_df(spark, n: int, seed: int = 42, partitions: int | None = None)
                 })
             yield pd.DataFrame(rows)
 
-    rng = spark.range(0, n, 1, partitions or 8)
+    rng = spark.range(0, n, 1, partitions or max(8, spark.sparkContext.defaultParallelism))
     return rng.mapInPandas(gen, schema=schema)
 
 
@@ -112,7 +112,7 @@ def synth_pdf_df(spark, n: int, partitions: int | None = None) -> DataFrame:
                                                **dialects[i % 6])})
             yield pd.DataFrame(rows)
 
-    rng = spark.range(0, n, 1, partitions or 8)
+    rng = spark.range(0, n, 1, partitions or max(8, spark.sparkContext.defaultParallelism))
     return rng.mapInPandas(gen, schema=schema)
 
 
@@ -733,7 +733,7 @@ def synth_real_media_df(spark, n: int, seed: int = 42,
                 rows.append({"media_id": i, "kind": kind, "blob": blob})
             yield pd.DataFrame(rows)
 
-    rng_df = spark.range(0, n, 1, partitions or 8)
+    rng_df = spark.range(0, n, 1, partitions or max(8, spark.sparkContext.defaultParallelism))
     return rng_df.mapInPandas(gen, schema=schema)
 
 
