@@ -198,12 +198,15 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = DEFAULT_K,
 def _candidates_from_bands(bands: DataFrame, max_bucket: int) -> DataFrame:
     """Band rows → distinct candidate pairs (a < b) sharing ≥1 bucket.
 
-    Materialize band rows through ONE exchange keyed by the bucket: every
-    consumer (size filter + both self-join sides) is a ReusedExchange
-    already partitioned on the join key — no cache, no recompute, no extra
-    shuffles. (Columnar cache of array columns and HOF re-inlining are both
-    pathological here — see shingle_rows plan notes.)"""
-    b = bands.repartition("band_ix", "band_hash")
+    Materialize band rows through ONE bucket-keyed exchange and truncate
+    lineage there (localCheckpoint, round 7): the three consumers (size
+    filter + both self-join sides) then scan one materialized relation
+    already partitioned on the join key instead of each replaying the
+    signature aggregate + stack subtree — the exchange was materializing
+    these rows anyway, so no new data-volume class. (Columnar cache of
+    array columns and HOF re-inlining are both pathological here — see
+    shingle_rows plan notes.)"""
+    b = bands.repartition("band_ix", "band_hash").localCheckpoint(eager=False)
     sizes = b.groupBy("band_ix", "band_hash").agg(F.count("*").alias("sz"))
     small = b.join(
         sizes.filter(F.col("sz") <= max_bucket), ["band_ix", "band_hash"]
