@@ -497,13 +497,15 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     return spread_if_narrow(df, key)
 
 
-def _positional_grams(base: DataFrame, n: int, id_col: str) -> DataFrame:
-    """(id, pos, gh): every word ``n``-gram of a (id, ws) relation with
-    its 0-based start position and 64-bit hash. Map-only Arrow kernel
-    (round-7, guide §4.2): the per-gram slice+join+md5 runs in Python on
-    whole batches instead of an interpreted transform() + codegen md5
-    per exploded row — integer md5-prefix hashes, so values are
-    bit-identical to the relational form and the DuckDB oracle."""
+def _positional_grams(base: DataFrame, n: int, id_col: str,
+                      sep: str = " ", arr_col: str = "ws") -> DataFrame:
+    """(id, pos, gh): every ``sep``-joined n-gram of a (id, ``arr_col``)
+    array relation with its 0-based start position and 64-bit hash.
+    Map-only Arrow kernel (round-7, guide §4.2): the per-gram
+    slice+join+md5 runs in Python on whole batches instead of an
+    interpreted transform() + codegen md5 per exploded row — integer
+    md5-prefix hashes, so values are bit-identical to the relational
+    form and the DuckDB oracle."""
     import hashlib
 
     import pandas as pd
@@ -522,7 +524,7 @@ def _positional_grams(base: DataFrame, n: int, id_col: str) -> DataFrame:
             ids: list = []
             poss: list = []
             ghs: list = []
-            for did, ws in zip(b[id_col], b["ws"]):
+            for did, ws in zip(b[id_col], b[arr_col]):
                 if ws is None:
                     continue
                 m = len(ws) - n + 1
@@ -532,11 +534,11 @@ def _positional_grams(base: DataFrame, n: int, id_col: str) -> DataFrame:
                 ids.extend([did] * m)
                 poss.extend(range(m))
                 ghs.extend(
-                    int(md5(" ".join(ws[i:i + n]).encode("utf-8"))
+                    int(md5(sep.join(ws[i:i + n]).encode("utf-8"))
                         .hexdigest()[:15], 16) for i in range(m))
             yield pd.DataFrame({id_col: ids, "pos": poss, "gh": ghs})
 
-    return base.select(id_col, "ws").mapInPandas(run, schema=schema)
+    return base.select(id_col, arr_col).mapInPandas(run, schema=schema)
 
 
 def _mask_matched_spans(base: DataFrame, matched: DataFrame, n: int,
