@@ -276,77 +276,52 @@ def dedup_text_spans(docs: DataFrame, n_sent: int = 3,
     sent_ix)`` / ``id``). No broadcast anywhere — at Common-Crawl scale
     the duplicated-span set is huge (mirrors, syndication).
     """
-    import pandas as pd
-    import pyspark.sql.types as T
+    from pyspark.sql import Window
 
-    from .dedup import _positional_grams, _spread
-
-    base = _spread(docs.select(
-        id_col, F.expr(X.sentences(text_col, "spark")).alias("ss")), id_col)
-    # round-7 shape (the exact_substring_dedup pattern): span hashes come
-    # from the Arrow gram kernel (chr(1) joiner, identical md5-prefix
-    # values); the globally-first occurrence is ONE hash aggregate with
-    # map-side struct-min partials filtered to duplicated spans — the
-    # round-6 form shipped every span occurrence through a row_number +
-    # count window on the span hash (not map-side combinable) and then
-    # re-exploded removals into (id, sent_ix) rows against a sentence
-    # explode + anti-join + collect_list/array_sort reassembly. Now the
-    # masking tail is one doc-grain aggregate + left join + a per-doc
-    # Arrow kernel (pure integer/string work, bit-identical).
-    spans = _positional_grams(base, n_sent, id_col, sep="\x01",
-                              arr_col="ss") \
-        .withColumnRenamed("pos", "span_ix").withColumnRenamed("gh", "sh")
-    dup_firsts = (
-        spans.groupBy("sh")
-        .agg(F.min(F.struct(id_col, "span_ix")).alias("first"),
-             F.count("*").alias("cnt"))
-        .filter("cnt >= 2")
-        .select("sh", "first")
+    base = docs.select(
+        id_col, F.expr(X.sentences(text_col, "spark")).alias("ss"))
+    sent = base.select(
+        id_col, F.posexplode_outer("ss").alias("sent_ix", "sentence"))
+    spans = (
+        base.filter(F.expr(f"size(ss) >= {n_sent}"))
+        .select(
+            id_col,
+            F.posexplode(F.expr(
+                f"transform(sequence(0, size(ss) - {n_sent}), "
+                f"i -> concat_ws(chr(1), slice(ss, i + 1, {n_sent})))"))
+            .alias("span_ix", "span"))
+        .withColumn("sh", F.expr(X.h64("span", "spark")))
     )
-    matched = (
-        spans.join(dup_firsts, "sh")
-        .filter(~((F.col(id_col) == F.col(f"first.{id_col}"))
-                  & (F.col("span_ix") == F.col("first.span_ix"))))
-        .select(id_col, "span_ix")
+    w = Window.partitionBy("sh").orderBy(id_col, "span_ix")
+    occ = spans.select(
+        id_col, "span_ix", "sh",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("sh")).alias("cnt"))
+    removals = (
+        occ.filter("cnt >= 2 AND rn > 1")
+        .select(id_col, F.explode(F.expr(
+            f"sequence(span_ix, span_ix + {n_sent} - 1)")).alias("sent_ix"))
+        .distinct()
     )
-    magg = matched.groupBy(id_col).agg(
-        F.collect_list("span_ix").alias("mpos"))
-    joined = base.join(magg, id_col, "left")
-
-    id_type = base.schema[id_col].dataType
-    schema = T.StructType([
-        T.StructField(id_col, id_type, True),
-        T.StructField("kept_text", T.StringType(), False),
-        T.StructField("n_sent_kept", T.LongType(), False),
-        T.StructField("n_sent_removed", T.LongType(), False),
-    ])
-
-    def run(batches):
-        for b in batches:
-            ids: list = []
-            kept: list = []
-            nk: list = []
-            nr: list = []
-            for did, ss, mp in zip(b[id_col], b["ss"], b["mpos"]):
-                ss = [] if ss is None else list(ss)
-                ids.append(did)
-                if mp is None or not len(mp):
-                    kept.append(" ".join(ss))
-                    nk.append(len(ss))
-                    nr.append(0)
-                    continue
-                covered = set()
-                for p in mp:
-                    covered.update(range(p, p + n_sent))
-                keep = [x for i, x in enumerate(ss) if i not in covered]
-                kept.append(" ".join(keep))
-                nk.append(len(keep))
-                nr.append(len(ss) - len(keep))
-            yield pd.DataFrame({id_col: ids, "kept_text": kept,
-                                "n_sent_kept": nk, "n_sent_removed": nr})
-
-    return joined.select(id_col, "ss", "mpos").mapInPandas(
-        run, schema=schema)
+    kept = sent.join(removals, [id_col, "sent_ix"], "left_anti")
+    agg = kept.filter("sentence IS NOT NULL").groupBy(id_col).agg(
+        F.expr("concat_ws(' ', transform(array_sort(collect_list("
+               "struct(sent_ix, sentence))), x -> x.sentence))")
+        .alias("kept_text"),
+        F.count("*").cast("bigint").alias("n_sent_kept"))
+    n_in = base.select(
+        id_col, F.expr("cast(size(ss) as bigint)").alias("n_sent"))
+    return (
+        n_in.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            F.coalesce("n_sent_kept", F.lit(0)).cast("bigint")
+            .alias("n_sent_kept"),
+            (F.col("n_sent") - F.coalesce("n_sent_kept", F.lit(0)))
+            .cast("bigint").alias("n_sent_removed"),
+        )
+    )
 
 
 def line_dedup_exprs(text: str, engine: str) -> dict[str, str]:
