@@ -78,6 +78,45 @@ def shingle_rows(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         .alias("shingle"))
 
 
+
+def _distinct_shingle_rows(docs: DataFrame, n: int, id_col: str,
+                           text_col: str) -> DataFrame:
+    """Per-doc-distinct (id, shingle) rows — value-identical to
+    ``shingle_rows(...).distinct()`` because the key includes the doc id,
+    so global distinctness IS per-doc distinctness. Zero-shuffle Arrow
+    kernel (round 7): the explode + distinct exchange of the relational
+    form disappear; shingle strings are the identical slice+join
+    construction (textsql.shingles semantics incl. the <n-words
+    fallback)."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    id_type = docs.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_type, True),
+        T.StructField("shingle", T.StringType(), False),
+    ])
+
+    def run(batches):
+        for b in batches:
+            ids: list = []
+            shs: list = []
+            for did, ws in zip(b[id_col], b["ws"]):
+                ws = [] if ws is None else list(ws)
+                m = len(ws) - n + 1
+                if m <= 0:
+                    grams = {" ".join(ws)}
+                else:
+                    grams = {" ".join(ws[i:i + n]) for i in range(m)}
+                ids.extend([did] * len(grams))
+                shs.extend(grams)
+            yield pd.DataFrame({id_col: ids, "shingle": shs})
+
+    base = _spread(docs.select(
+        id_col, F.expr(X.words(text_col, "spark")).alias("ws")), id_col)
+    return base.mapInPandas(run, schema=schema)
+
+
 def _shingle_hashes_py(ws, n: int, md5) -> "list[int]":
     """Python twin of h64(shingles(ws, n)) — the md5-prefix hash of each
     word n-gram, whole-text fallback below n words (textsql.shingles
@@ -236,15 +275,17 @@ def near_duplicates(docs: DataFrame, threshold: float = 0.7,
     # verification sides (round 7): MinHash mins over a multiset equal
     # the mins over its set, so deriving the signature from the DISTINCT
     # shingles is value-identical to minhash_signatures while sharing the
-    # shingle construction with verification (the kernel path would
-    # rebuild shingles separately in Python). localCheckpoint truncates
-    # the four consumers' lineage onto one materialization — without it
-    # the optimizer replays the explode subtree per consumer (~10 copies
-    # in the round-6 physical plan, most of that query's planning +
-    # codegen wall). The relation was crossing two verification-join
-    # exchanges anyway, so the materialization adds no new data volume
-    # class at corpus scale (the semantic_dedup members precedent).
-    sr = shingle_rows(docs, n, id_col, text_col).distinct() \
+    # shingle construction with verification. Distinctness of
+    # (id, shingle) is PER-DOC by construction, so a zero-shuffle Arrow
+    # kernel emits each doc's shingle set directly — no explode, no
+    # global distinct exchange. localCheckpoint truncates the four
+    # consumers' lineage onto one materialization — without it the
+    # optimizer replays the construction per consumer (~10 copies in the
+    # round-6 physical plan, most of that query's planning + codegen
+    # wall). The relation was crossing two verification-join exchanges
+    # anyway, so the materialization adds no new data volume class at
+    # corpus scale (the semantic_dedup members precedent).
+    sr = _distinct_shingle_rows(docs, n, id_col, text_col) \
         .localCheckpoint(eager=False)
     P = X.MINHASH_PRIME
     hs = sr.select(id_col,
